@@ -1,0 +1,344 @@
+"""Batched multi-limb modular arithmetic for TPU (JAX).
+
+This is the foundation of the proving compute path: BN254 Fq/Fr elements as
+16 x 16-bit limbs in uint32 lanes, **limbs-first** layout ``(16, *batch)`` so
+that every limb row is a full vector register sweep and the batch dimension
+rides the VPU lanes. Montgomery representation (R = 2^256) everywhere.
+
+Why 16-bit limbs: the TPU VPU has no widening 32x32 multiply, but a uint32
+multiply of two 16-bit values is exact. Column sums of the schoolbook product
+stay below 2^23 << 2^32, so carries can be deferred across the whole
+multiply + Montgomery reduction and propagated once at the end.
+
+This replaces the arkworks `ark-ff` 64-bit-limb Montgomery arithmetic that
+sits under the reference's entire proving stack (prover/Cargo.toml:20); the
+semantics (values, Montgomery domain) are identical, only the limb split and
+batch orientation are TPU-native.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMB_BITS = 16
+NLIMBS = 16
+MASK = (1 << LIMB_BITS) - 1
+
+
+def int_to_limbs_py(x: int) -> tuple:
+    return tuple((x >> (LIMB_BITS * i)) & MASK for i in range(NLIMBS))
+
+
+def limbs_to_int_py(limbs) -> int:
+    return sum(int(l) << (LIMB_BITS * i) for i, l in enumerate(limbs))
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Static per-field constants (hashable; safe as a jit static arg)."""
+
+    modulus: int
+
+    @functools.cached_property
+    def p_limbs(self) -> np.ndarray:
+        return np.array(int_to_limbs_py(self.modulus), dtype=np.uint32)
+
+    @functools.cached_property
+    def n0inv(self) -> int:
+        # -p^{-1} mod 2^16
+        p0 = self.modulus & MASK
+        return (-pow(p0, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+
+    @functools.cached_property
+    def r_mod_p(self) -> int:
+        return (1 << (LIMB_BITS * NLIMBS)) % self.modulus
+
+    @functools.cached_property
+    def r2_mod_p(self) -> int:
+        return pow(1 << (LIMB_BITS * NLIMBS), 2, self.modulus)
+
+    @functools.cached_property
+    def r2_limbs(self) -> np.ndarray:
+        return np.array(int_to_limbs_py(self.r2_mod_p), dtype=np.uint32)
+
+    @functools.cached_property
+    def one_mont(self) -> np.ndarray:
+        return np.array(int_to_limbs_py(self.r_mod_p), dtype=np.uint32)
+
+    def __hash__(self):
+        return hash(self.modulus)
+
+
+from ..fields.bn254 import P as _P, R as _R
+from ..hashes.poseidon import BLS12_381_FR as _BLS_R
+
+FQ = FieldSpec(_P)
+FR = FieldSpec(_R)
+BLS_FR = FieldSpec(_BLS_R)
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion
+# ---------------------------------------------------------------------------
+
+
+def to_limbs(values, spec: FieldSpec | None = None) -> np.ndarray:
+    """List/array of python ints -> uint32 (NLIMBS, N). Not Montgomery."""
+    values = list(values)
+    out = np.zeros((NLIMBS, len(values)), dtype=np.uint32)
+    for j, v in enumerate(values):
+        v = int(v)
+        for i in range(NLIMBS):
+            out[i, j] = (v >> (LIMB_BITS * i)) & MASK
+    return out
+
+
+def from_limbs(arr) -> list:
+    arr = np.asarray(arr)
+    flat = arr.reshape(NLIMBS, -1)
+    return [
+        sum(int(flat[i, j]) << (LIMB_BITS * i) for i in range(NLIMBS))
+        for j in range(flat.shape[1])
+    ]
+
+
+def zeros(batch_shape, dtype=jnp.uint32):
+    return jnp.zeros((NLIMBS, *batch_shape), dtype)
+
+
+def broadcast_scalar(limbs_1d, batch_shape):
+    """(16,) constant -> (16, *batch)."""
+    limbs_1d = jnp.asarray(limbs_1d, jnp.uint32)
+    return jnp.broadcast_to(limbs_1d.reshape((NLIMBS,) + (1,) * len(batch_shape)),
+                            (NLIMBS, *batch_shape))
+
+
+# ---------------------------------------------------------------------------
+# carry / compare primitives
+# ---------------------------------------------------------------------------
+
+
+def _carry_sweep(limbs):
+    """Propagate carries so each limb < 2^16. Input limbs may hold up to 32-bit
+    sums; one sequential sweep suffices when values < 2^31."""
+    outs = []
+    carry = jnp.zeros_like(limbs[0])
+    for i in range(limbs.shape[0]):
+        v = limbs[i] + carry
+        outs.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(outs), carry
+
+
+def _sub_limbs(a, b):
+    """a - b with borrow chain; returns (diff_limbs, borrow_out in {0,1})."""
+    outs = []
+    borrow = jnp.zeros_like(a[0])
+    for i in range(NLIMBS):
+        v = a[i].astype(jnp.int32) - b[i].astype(jnp.int32) - borrow.astype(jnp.int32)
+        outs.append((v & MASK).astype(jnp.uint32))
+        borrow = (v < 0).astype(jnp.uint32)
+    return jnp.stack(outs), borrow
+
+
+def _geq_p(a, spec: FieldSpec):
+    _, borrow = _sub_limbs(a, broadcast_scalar(spec.p_limbs, a.shape[1:]))
+    return borrow == 0
+
+
+def cond_sub_p(a, spec: FieldSpec):
+    diff, borrow = _sub_limbs(a, broadcast_scalar(spec.p_limbs, a.shape[1:]))
+    return jnp.where(borrow == 0, diff, a)
+
+
+# ---------------------------------------------------------------------------
+# field ops (all inputs/outputs normalized limbs < 2^16, Montgomery domain
+# for mul-family ops)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def add(a, b, spec: FieldSpec):
+    s = a + b  # < 2^17
+    s, _ = _carry_sweep(s)
+    return cond_sub_p(s, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def sub(a, b, spec: FieldSpec):
+    diff, borrow = _sub_limbs(a, b)
+    p_bcast = broadcast_scalar(spec.p_limbs, a.shape[1:])
+    corrected, _ = _carry_sweep(diff + p_bcast)
+    return jnp.where(borrow == 1, corrected, diff)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def neg(a, spec: FieldSpec):
+    z = jnp.zeros_like(a)
+    is_zero_mask = is_zero(a)
+    p_minus_a, _ = _sub_limbs(broadcast_scalar(spec.p_limbs, a.shape[1:]), a)
+    return jnp.where(is_zero_mask[None, ...], z, p_minus_a)
+
+
+def is_zero(a):
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=0)
+
+
+def select(mask, a, b):
+    """mask over batch dims; choose a where True."""
+    return jnp.where(mask[None, ...], a, b)
+
+
+def _skew_sum(mat):
+    """(16, 16, *B) -> (31, *B): out[k] = sum_{i+j=k} mat[i, j].
+
+    Diagonal alignment via the pad-flatten-reshape trick: padding each row to
+    width 32 and re-slicing rows of width 31 shifts row i right by i, turning
+    anti-diagonal sums into a plain axis-0 reduction. One fused XLA op chain
+    instead of 256 scalar-slice adds.
+    """
+    h, w = NLIMBS, NLIMBS
+    batch = mat.shape[2:]
+    padded = jnp.concatenate([mat, jnp.zeros((h, h, *batch), mat.dtype)], axis=1)
+    flat = padded.reshape((h * (w + h), *batch))
+    skewed = flat[: h * (w + h - 1)].reshape((h, w + h - 1, *batch))
+    return skewed.sum(axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def mont_mul(a, b, spec: FieldSpec):
+    """Montgomery product: a * b * R^{-1} mod p. a, b: (16, *B) normalized."""
+    batch = a.shape[1:]
+
+    # schoolbook product with deferred carries: column sums < 2^21
+    prod = a[:, None, ...] * b[None, :, ...]  # (16, 16, *B), exact in uint32
+    lo_cols = _skew_sum(prod & MASK)  # (31, *B)
+    hi_cols = _skew_sum(prod >> LIMB_BITS)
+    zero_row = jnp.zeros((1, *batch), jnp.uint32)
+    cols = jnp.concatenate([lo_cols, zero_row, zero_row], axis=0)
+    cols = cols.at[1:32].add(hi_cols)  # (33, *B)
+
+    # interleaved Montgomery reduction, one limb at a time (sequential in i,
+    # vectorized over limbs and batch)
+    n0inv = jnp.uint32(spec.n0inv)
+    p_col = jnp.asarray(spec.p_limbs).reshape((NLIMBS,) + (1,) * len(batch))
+    for i in range(NLIMBS):
+        m = (cols[i] * n0inv) & MASK
+        mp = m[None, ...] * p_col  # (16, *B) < 2^32 exact
+        cols = cols.at[i : i + NLIMBS].add(mp & MASK)
+        cols = cols.at[i + 1 : i + 1 + NLIMBS].add(mp >> LIMB_BITS)
+        # low limb now divisible by 2^16; push its carry upward
+        cols = cols.at[i + 1].add(cols[i] >> LIMB_BITS)
+
+    res, top = _carry_sweep(cols[NLIMBS : 2 * NLIMBS])
+    # t / R < 2p < 2^256, so the final carry can only make the value >= p,
+    # never overflow 16 limbs; top is folded by the conditional subtract.
+    del top
+    return cond_sub_p(res, spec)
+
+
+def mont_sqr(a, spec: FieldSpec):
+    return mont_mul(a, a, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def to_mont(a, spec: FieldSpec):
+    return mont_mul(a, broadcast_scalar(spec.r2_limbs, a.shape[1:]), spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def from_mont(a, spec: FieldSpec):
+    one = jnp.zeros_like(a).at[0].set(1)
+    return mont_mul(a, one, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("exponent", "spec"))
+def mont_pow(a, exponent: int, spec: FieldSpec):
+    """a^exponent (Montgomery domain), static exponent.
+
+    Short exponents (< 2^8, e.g. the s-box alpha) unroll inline; long ones
+    (Fermat inversion) run as a lax.scan over the bit string so the traced
+    graph stays one-squaring large instead of 254 squarings large.
+    """
+    bits = bin(exponent)[2:]
+    if len(bits) <= 8:
+        result = broadcast_scalar(spec.one_mont, a.shape[1:])
+        for bit in bits:
+            result = mont_mul(result, result, spec)
+            if bit == "1":
+                result = mont_mul(result, a, spec)
+        return result
+
+    bit_arr = jnp.asarray([int(b) for b in bits], dtype=jnp.uint32)
+    init = broadcast_scalar(spec.one_mont, a.shape[1:])
+
+    def body(result, bit):
+        result = mont_mul(result, result, spec)
+        with_mul = mont_mul(result, a, spec)
+        result = jnp.where(bit == 1, with_mul, result)
+        return result, None
+
+    result, _ = jax.lax.scan(body, init, bit_arr)
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def mont_inv(a, spec: FieldSpec):
+    """Batched inversion via Fermat: a^(p-2). inv(0) = 0 by convention."""
+    return mont_pow(a, spec.modulus - 2, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def mont_batch_inv(a, spec: FieldSpec):
+    """Montgomery's batch-inversion trick along the last batch axis.
+
+    Cost: 3(N-1) muls + one Fermat inversion, vs N Fermat inversions.
+    Zero elements pass through as zero.
+    """
+    zero_mask = is_zero(a)
+    safe = select(zero_mask, broadcast_scalar(spec.one_mont, a.shape[1:]), a)
+
+    # scan over the last axis: move it to the front as the scan dimension
+    seq = jnp.moveaxis(safe, -1, 0)  # (n, 16, *rest)
+    one = broadcast_scalar(spec.one_mont, seq.shape[2:])
+
+    def fwd(acc, x):
+        return mont_mul(acc, x, spec), acc  # emit exclusive prefix
+
+    total, prefixes = jax.lax.scan(fwd, one, seq)
+    total_inv = mont_inv(total, spec)
+
+    def bwd(suffix, xs):
+        x, prefix = xs
+        out = mont_mul(suffix, prefix, spec)
+        return mont_mul(suffix, x, spec), out
+
+    _, outs = jax.lax.scan(bwd, total_inv, (seq, prefixes), reverse=True)
+    out = jnp.moveaxis(outs, 0, -1)
+    return select(zero_mask, jnp.zeros_like(out), out)
+
+
+# ---------------------------------------------------------------------------
+# host-side helpers for tests / witness prep
+# ---------------------------------------------------------------------------
+
+
+def encode_mont(values, spec: FieldSpec) -> np.ndarray:
+    """ints -> Montgomery limb array (host side, exact)."""
+    R_ = 1 << (LIMB_BITS * NLIMBS)
+    return to_limbs([(int(v) * R_) % spec.modulus for v in values], spec)
+
+
+def decode_mont(arr, spec: FieldSpec) -> list:
+    R_ = 1 << (LIMB_BITS * NLIMBS)
+    rinv = pow(R_, -1, spec.modulus)
+    return [(v * rinv) % spec.modulus for v in from_limbs(arr)]
