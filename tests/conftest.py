@@ -10,6 +10,14 @@ import os
 # Force CPU: the ambient environment preselects the axon TPU platform with
 # remote compilation, which is the bench path, not the test path.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Persistent compilation cache: the limb kernels compile once per shape; cache
+# them across test runs to keep the suite fast.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/zelana_tpu_xla")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
