@@ -126,24 +126,25 @@ def broadcast_scalar(limbs_1d, batch_shape):
 def _carry_sweep(limbs):
     """Propagate carries so each limb < 2^16. Input limbs may hold up to 32-bit
     sums; one sequential sweep suffices when values < 2^31."""
-    outs = []
-    carry = jnp.zeros_like(limbs[0])
-    for i in range(limbs.shape[0]):
-        v = limbs[i] + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs), carry
+
+    def step(carry, row):
+        v = row + carry
+        return v >> LIMB_BITS, v & MASK
+
+    carry, outs = jax.lax.scan(step, jnp.zeros_like(limbs[0]), limbs)
+    return outs, carry
 
 
 def _sub_limbs(a, b):
     """a - b with borrow chain; returns (diff_limbs, borrow_out in {0,1})."""
-    outs = []
-    borrow = jnp.zeros_like(a[0])
-    for i in range(NLIMBS):
-        v = a[i].astype(jnp.int32) - b[i].astype(jnp.int32) - borrow.astype(jnp.int32)
-        outs.append((v & MASK).astype(jnp.uint32))
-        borrow = (v < 0).astype(jnp.uint32)
-    return jnp.stack(outs), borrow
+
+    def step(borrow, rows):
+        ai, bi = rows
+        v = ai.astype(jnp.int32) - bi.astype(jnp.int32) - borrow.astype(jnp.int32)
+        return (v < 0).astype(jnp.uint32), (v & MASK).astype(jnp.uint32)
+
+    borrow, outs = jax.lax.scan(step, jnp.zeros_like(a[0]), (a[:NLIMBS], b[:NLIMBS]))
+    return outs, borrow
 
 
 def _geq_p(a, spec: FieldSpec):
@@ -228,16 +229,32 @@ def mont_mul(a, b, spec: FieldSpec):
     cols = cols.at[1:32].add(hi_cols)  # (33, *B)
 
     # interleaved Montgomery reduction, one limb at a time (sequential in i,
-    # vectorized over limbs and batch)
+    # vectorized over limbs and batch). A fori_loop keeps the traced graph
+    # small; the loop is inherently sequential either way.
     n0inv = jnp.uint32(spec.n0inv)
     p_col = jnp.asarray(spec.p_limbs).reshape((NLIMBS,) + (1,) * len(batch))
-    for i in range(NLIMBS):
-        m = (cols[i] * n0inv) & MASK
+
+    def red_step(i, cols):
+        t_i = jax.lax.dynamic_index_in_dim(cols, i, axis=0, keepdims=False)
+        m = (t_i * n0inv) & MASK
         mp = m[None, ...] * p_col  # (16, *B) < 2^32 exact
-        cols = cols.at[i : i + NLIMBS].add(mp & MASK)
-        cols = cols.at[i + 1 : i + 1 + NLIMBS].add(mp >> LIMB_BITS)
+        lo_win = jax.lax.dynamic_slice_in_dim(cols, i, NLIMBS, axis=0)
+        cols = jax.lax.dynamic_update_slice_in_dim(
+            cols, lo_win + (mp & MASK), i, axis=0
+        )
+        hi_win = jax.lax.dynamic_slice_in_dim(cols, i + 1, NLIMBS, axis=0)
+        cols = jax.lax.dynamic_update_slice_in_dim(
+            cols, hi_win + (mp >> LIMB_BITS), i + 1, axis=0
+        )
         # low limb now divisible by 2^16; push its carry upward
-        cols = cols.at[i + 1].add(cols[i] >> LIMB_BITS)
+        low = jax.lax.dynamic_index_in_dim(cols, i, axis=0, keepdims=True)
+        nxt = jax.lax.dynamic_slice_in_dim(cols, i + 1, 1, axis=0)
+        cols = jax.lax.dynamic_update_slice_in_dim(
+            cols, nxt + (low >> LIMB_BITS), i + 1, axis=0
+        )
+        return cols
+
+    cols = jax.lax.fori_loop(0, NLIMBS, red_step, cols)
 
     res, top = _carry_sweep(cols[NLIMBS : 2 * NLIMBS])
     # t / R < 2p < 2^256, so the final carry can only make the value >= p,
