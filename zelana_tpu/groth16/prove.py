@@ -1,0 +1,102 @@
+"""Groth16 prover -- the TPU compute path.
+
+Pipeline (mirrors ark-groth16 `create_random_proof` semantics, reference hot
+loop at core/src/sequencer/settlement/prover.rs:408):
+
+  1. synthesize circuit -> matrices + full assignment z (host)
+  2. witness map: evaluate A.z, B.z, C.z over the domain, iFFT to coeffs,
+     coset-FFT, pointwise (A.z * B.z - C.z) / Z on the coset, coset-iFFT
+     -> h(x) coefficients            [TPU NTT kernels, ops/ntt.py]
+  3. five MSMs over the proving-key queries                [TPU, ops/msm.py]
+  4. final assembly A = alpha + <a,z> + r*delta, B = beta + <b,z> + s*delta,
+     C = <l,w> + <h_query,h> + s*A + r*B - rs*delta        (host, tiny)
+
+Randomness: r, s from DeterministicRng(batch_id), the reference's
+seed-per-batch discipline.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import g1 as G1, g2 as G2
+from ..fields.bn254 import R as FR
+from ..ops import limbs as L
+from ..ops import ntt as NTT
+from ..ops import msm as MSM
+from .keys import Proof, ProvingKey
+from .qap import matrix_vector_evals
+from .rng import DeterministicRng
+
+
+def witness_map_device(A, B, C, z, num_instance):
+    """Compute h(x) coefficients on device. Returns list of m-1 ints."""
+    from ..poly.domain import Domain
+
+    domain = Domain.new(len(A) + num_instance)
+    plan = NTT.make_plan(domain.size)
+
+    a_evals = matrix_vector_evals(A, z, domain, True, num_instance)
+    b_evals = matrix_vector_evals(B, z, domain, False, num_instance)
+    c_evals = matrix_vector_evals(C, z, domain, False, num_instance)
+
+    dev = [jnp.asarray(L.encode_mont(v, L.FR)) for v in (a_evals, b_evals, c_evals)]
+    coeffs = [NTT.intt(x, plan) for x in dev]
+    cosets = [NTT.coset_ntt(x, plan) for x in coeffs]
+
+    ab = L.mont_mul(cosets[0], cosets[1], L.FR)
+    num = L.sub(ab, cosets[2], L.FR)
+    z_inv = pow(domain.evaluate_vanishing_on_coset(), FR - 2, FR)
+    z_inv_m = L.broadcast_scalar(L.encode_mont([z_inv], L.FR)[:, 0], num.shape[1:])
+    h_evals = L.mont_mul(num, z_inv_m, L.FR)
+    h_coeffs = NTT.coset_intt(h_evals, plan)
+    out = L.decode_mont(np.asarray(h_coeffs), L.FR)
+    return out[: domain.size - 1]
+
+
+def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
+    from ..r1cs.system import ConstraintSystem
+
+    cs = ConstraintSystem()
+    circuit.generate_constraints(cs)
+    bad = cs.is_satisfied()
+    if bad is not None:
+        raise ValueError(f"constraint {bad} unsatisfied; witness invalid")
+    A, B, C = cs.matrices()
+    z = cs.full_assignment()
+    num_instance = cs.num_instance
+
+    rng = DeterministicRng(batch_id)
+    r = rng.rand_fr(FR)
+    s = rng.rand_fr(FR)
+
+    h = witness_map_device(A, B, C, z, num_instance)
+
+    # MSMs over the queries (device)
+    g_a_sum = MSM.msm_g1(pk.a_query, z)
+    g_b1_sum = MSM.msm_g1(pk.b_g1_query, z)
+    g_b2_sum = MSM.msm_g2(pk.b_g2_query, z)
+    l_sum = MSM.msm_g1(pk.l_query, z[num_instance:])
+    h_sum = MSM.msm_g1(pk.h_query, h)
+
+    # assembly (host, a handful of point ops)
+    g_a = G1.add(G1.add(pk.vk.alpha_g1, g_a_sum), G1.mul(pk.delta_g1, r))
+    g_b1 = G1.add(G1.add(pk.beta_g1, g_b1_sum), G1.mul(pk.delta_g1, s))
+    g_b2 = G2.add(G2.add(pk.vk.beta_g2, g_b2_sum), G2.mul(pk.vk.delta_g2, s))
+
+    c_pt = G1.add(l_sum, h_sum)
+    c_pt = G1.add(c_pt, G1.mul(g_a, s))
+    c_pt = G1.add(c_pt, G1.mul(g_b1, r))
+    c_pt = G1.add(c_pt, G1.neg(G1.mul(pk.delta_g1, r * s % FR)))
+
+    return Proof(a=g_a, b=g_b2, c=c_pt)
+
+
+def public_inputs_of(circuit) -> list:
+    """Instance values (excluding the leading ONE) for verification."""
+    from ..r1cs.system import ConstraintSystem
+
+    cs = ConstraintSystem()
+    circuit.generate_constraints(cs)
+    return cs.instance_values[1:]

@@ -1,0 +1,144 @@
+"""Groth16 circuit-specific setup (keygen).
+
+Produces proving/verifying keys with the same structure and serialization as
+ark-groth16 =0.5.0 (see keys.py), for our circuits. Query layout matches the
+reference engine exactly:
+
+    a_query[i]    = a_i(t) * G1                 (all variables)
+    b_g1_query[i] = b_i(t) * G1,  b_g2_query[i] = b_i(t) * G2
+    h_query[j]    = (t^j * Z(t) / delta) * G1,  j < m - 1
+    l_query[i]    = (beta*a_i + alpha*b_i + c_i) / delta * G1   (witnesses)
+    gamma_abc[i]  = (beta*a_i + alpha*b_i + c_i) / gamma * G1   (instances)
+
+Zero evaluations yield points at infinity, as in arkworks keys. Fixed-base
+scalar multiplications use 4-bit windowed tables (host side; keygen is a
+one-time operation, reference keygen.rs:84-94 takes minutes too).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..curves import g1 as G1, g2 as G2
+from ..fields.bn254 import R as FR
+from .keys import ProvingKey, VerifyingKey
+from .qap import evaluate_qap_at
+from .rng import DeterministicRng
+
+WINDOW = 4
+
+
+class FixedBase:
+    """Windowed fixed-base scalar multiplication table."""
+
+    def __init__(self, base, curve):
+        self.curve = curve
+        n_windows = (254 + WINDOW - 1) // WINDOW
+        self.tables = []
+        cur = base
+        for _ in range(n_windows):
+            row = [None]  # 0 * base
+            acc = None
+            for _ in range((1 << WINDOW) - 1):
+                acc = curve.add(acc, cur)
+                row.append(acc)
+            self.tables.append(row)
+            # advance base by 2^WINDOW
+            for _ in range(WINDOW):
+                cur = curve.add(cur, cur)
+
+    def mul(self, scalar: int):
+        scalar %= FR
+        acc = None
+        w = 0
+        while scalar:
+            digit = scalar & ((1 << WINDOW) - 1)
+            if digit:
+                acc = self.curve.add(acc, self.tables[w][digit])
+            scalar >>= WINDOW
+            w += 1
+        return acc
+
+
+def keygen(circuit, seed: int = 0) -> ProvingKey:
+    """Deterministic circuit-specific setup (seed discipline matches
+    keygen.rs: seed 0)."""
+    from ..r1cs.system import ConstraintSystem
+
+    cs = ConstraintSystem()
+    circuit.generate_constraints(cs)
+    A, B, C = cs.matrices()
+    num_instance = cs.num_instance
+    num_vars = num_instance + cs.num_witness
+
+    rng = DeterministicRng(seed)
+    alpha = rng.rand_nonzero_fr(FR)
+    beta = rng.rand_nonzero_fr(FR)
+    gamma = rng.rand_nonzero_fr(FR)
+    delta = rng.rand_nonzero_fr(FR)
+    # random group generators (arkworks samples E::G1::rand / E::G2::rand)
+    g1_gen = G1.mul(G1.generator(), rng.rand_nonzero_fr(FR))
+    g2_gen = G2.mul(G2.generator(), rng.rand_nonzero_fr(FR))
+
+    # t outside the domain
+    from ..poly.domain import Domain
+
+    domain = Domain.new(len(A) + num_instance)
+    while True:
+        t = rng.rand_fr(FR)
+        if domain.evaluate_vanishing_polynomial(t) != 0:
+            break
+
+    a, b, c, zt, domain = evaluate_qap_at(A, B, C, num_instance, num_vars, t)
+
+    gamma_inv = pow(gamma, FR - 2, FR)
+    delta_inv = pow(delta, FR - 2, FR)
+
+    fb1 = FixedBase(g1_gen, G1)
+    fb2 = FixedBase(g2_gen, G2)
+
+    def msm1(scalars: List[int]):
+        return [fb1.mul(s) if s else None for s in scalars]
+
+    a_query = msm1(a)
+    b_g1_query = msm1(b)
+    b_g2_query = [fb2.mul(s) if s else None for s in b]
+
+    # h_query: (t^j * zt * delta_inv) G1 for j in 0..m-1
+    m = domain.size
+    h_scalars = []
+    tj = 1
+    for _ in range(m - 1):
+        h_scalars.append(tj * zt % FR * delta_inv % FR)
+        tj = tj * t % FR
+    h_query = msm1(h_scalars)
+
+    l_scalars = [
+        (beta * a[i] + alpha * b[i] + c[i]) % FR * delta_inv % FR
+        for i in range(num_instance, num_vars)
+    ]
+    l_query = msm1(l_scalars)
+
+    abc_scalars = [
+        (beta * a[i] + alpha * b[i] + c[i]) % FR * gamma_inv % FR
+        for i in range(num_instance)
+    ]
+    gamma_abc = [fb1.mul(s) if s else None for s in abc_scalars]
+
+    vk = VerifyingKey(
+        alpha_g1=fb1.mul(alpha),
+        beta_g2=fb2.mul(beta),
+        gamma_g2=fb2.mul(gamma),
+        delta_g2=fb2.mul(delta),
+        gamma_abc_g1=gamma_abc,
+    )
+    return ProvingKey(
+        vk=vk,
+        beta_g1=fb1.mul(beta),
+        delta_g1=fb1.mul(delta),
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
+    )

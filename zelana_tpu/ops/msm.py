@@ -253,10 +253,20 @@ def _jac_to_affine_host(jac, fq2=False):
     return (tw.fq2_mul(X, zinv2), tw.fq2_mul(tw.fq2_mul(Y, zinv2), zinv))
 
 
+def _pad_pow2(points, scalars, min_size=16):
+    """Pad to a power-of-two length with infinity points / zero scalars, so
+    device kernels only ever see a small set of shapes (compile cache)."""
+    n = max(min_size, len(points))
+    n = 1 << (n - 1).bit_length()
+    pad = n - len(points)
+    return list(points) + [None] * pad, list(scalars) + [0] * pad
+
+
 def msm_g1(points, scalars):
     """Host API: affine python G1 points + int scalars -> affine result."""
     if not points:
         return None
+    points, scalars = _pad_pow2(points, scalars)
     coords, inf = g1_points_to_device(points)
     digits = scalar_digits(scalars, inf)
     jac = _msm(coords, digits, "g1")
@@ -266,6 +276,7 @@ def msm_g1(points, scalars):
 def msm_g2(points, scalars):
     if not points:
         return None
+    points, scalars = _pad_pow2(points, scalars)
     coords, inf = g2_points_to_device(points)
     digits = scalar_digits(scalars, inf)
     jac = _msm(coords, digits, "g2")
