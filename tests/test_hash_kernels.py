@@ -1,0 +1,48 @@
+"""Batched JAX hash kernels vs golden implementations."""
+
+from zelana_tpu.hashes import mimc, mimc_jax, poseidon_jax
+from zelana_tpu.hashes.poseidon import (
+    bls12_381_config,
+    bn254_config,
+    poseidon_hash,
+)
+
+
+def test_mimc_hash2_batch():
+    pairs = [(i * 7 + 1, i * 13 + 2) for i in range(16)]
+    got = mimc_jax.hash2_many(pairs)
+    assert got == [mimc.hash_2(a, b) for a, b in pairs]
+
+
+def test_mimc_hash_n_batch():
+    import jax.numpy as jnp
+    import numpy as np
+    from zelana_tpu.ops import limbs as L
+
+    rows = [(i + 1, i * 3, i * 5 + 2) for i in range(8)]
+    cols = [
+        jnp.asarray(L.encode_mont([r[i] for r in rows], L.FR)) for i in range(3)
+    ]
+    got = L.decode_mont(np.asarray(mimc_jax.hash_n_batch(cols)), L.FR)
+    assert got == [mimc.hash_3(*r) for r in rows]
+
+
+def test_poseidon_batch_bn254():
+    cfg = bn254_config()
+    rows = [(i + 1, i * 3 + 5) for i in range(8)]
+    got = poseidon_jax.hash_many(cfg, rows)
+    assert got == [poseidon_hash(cfg, list(r)) for r in rows]
+
+
+def test_poseidon_batch_three_elements():
+    cfg = bn254_config()
+    rows = [(i + 1, i * 3 + 5, i * 11 + 7) for i in range(8)]
+    got = poseidon_jax.hash_many(cfg, rows)
+    assert got == [poseidon_hash(cfg, list(r)) for r in rows]
+
+
+def test_poseidon_batch_bls():
+    cfg = bls12_381_config()
+    rows = [(i + 2, i * 9 + 1) for i in range(8)]
+    got = poseidon_jax.hash_many(cfg, rows)
+    assert got == [poseidon_hash(cfg, list(r)) for r in rows]
