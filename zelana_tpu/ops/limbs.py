@@ -344,6 +344,37 @@ def mont_batch_inv(a, spec: FieldSpec):
     return select(zero_mask, jnp.zeros_like(out), out)
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def mont_batch_inv_logdepth(a, spec: FieldSpec):
+    """Batch inversion along the last axis in log depth (TPU-friendly).
+
+    inv(d_i) = prefix_excl(i) * suffix_excl(i) * total^{-1}, with both
+    exclusive products from associative scans (O(N) work, O(log N) depth)
+    and a single Fermat inversion of the total. Zeros pass through as zero.
+    """
+    zero_mask = is_zero(a)
+    safe = select(zero_mask, broadcast_scalar(spec.one_mont, a.shape[1:]), a)
+
+    def combine(x, y):
+        return mont_mul(x, y, spec)
+
+    axis = safe.ndim - 1
+    prefix_incl = jax.lax.associative_scan(combine, safe, axis=axis)
+    suffix_incl = jax.lax.associative_scan(combine, safe, axis=axis, reverse=True)
+    one = broadcast_scalar(spec.one_mont, a.shape[1:-1] + (1,))
+    prefix_excl = jnp.concatenate([one, prefix_incl[..., :-1]], axis=-1)
+    suffix_excl = jnp.concatenate([suffix_incl[..., 1:], one], axis=-1)
+
+    total = prefix_incl[..., -1]
+    total_inv = mont_inv(total, spec)[..., None]
+    out = mont_mul(
+        mont_mul(prefix_excl, suffix_excl, spec),
+        jnp.broadcast_to(total_inv, a.shape),
+        spec,
+    )
+    return select(zero_mask, jnp.zeros_like(out), out)
+
+
 # ---------------------------------------------------------------------------
 # host-side helpers for tests / witness prep
 # ---------------------------------------------------------------------------

@@ -102,7 +102,9 @@ def _k_gather_points(coords, order, curve):
     return jax.tree_util.tree_map(lambda a: a[:, order], coords)
 
 
-@functools.partial(jax.jit, static_argnames=("curve", "offset"))
+@functools.partial(
+    jax.jit, static_argnames=("curve", "offset"), donate_argnums=(0, 1)
+)
 def _k_seg_scan_step(vals, flags, curve, offset):
     """One Hillis-Steele segmented-scan step along the last axis."""
     F = _ops(curve)
@@ -182,6 +184,17 @@ def _k_bucket_reduce(buckets, curve):
 # ---------------------------------------------------------------------------
 
 
+def _window_chunk(n: int) -> int:
+    """Windows processed per device pass; bounds peak memory (the scan holds
+    a handful of (16, chunk, n) coordinate tensors)."""
+    import os
+
+    # lanes in flight; the scan holds ~30 live (16, chunk*n) uint32 tensors,
+    # so 2^20 lanes => roughly 2-3 GB peak -- comfortably inside 16G HBM
+    budget = int(os.environ.get("ZELANA_MSM_LANE_BUDGET", 1 << 20))
+    return max(1, min(N_WINDOWS, budget // max(n, 1)))
+
+
 def _msm(coords, digits_np: np.ndarray, curve: str):
     F = _ops(curve)
     n = digits_np.shape[1]
@@ -189,28 +202,40 @@ def _msm(coords, digits_np: np.ndarray, curve: str):
 
     # host-side sort per window (digits are host data today; device sort is a
     # drop-in once scalars are produced on device)
-    order = np.argsort(digits_np, axis=1, kind="stable").astype(np.int32)
-    keys = np.take_along_axis(digits_np, order, axis=1)
-    starts = np.concatenate(
-        [np.ones((N_WINDOWS, 1), bool), keys[:, 1:] != keys[:, :-1]], axis=1
-    )
-    ends = np.concatenate(
-        [keys[:, 1:] != keys[:, :-1], np.ones((N_WINDOWS, 1), bool)], axis=1
-    )
+    order_all = np.argsort(digits_np, axis=1, kind="stable").astype(np.int32)
+    keys_all = np.take_along_axis(digits_np, order_all, axis=1)
 
     X, Y = coords
-    Xg = _k_gather_points(X, jnp.asarray(order), curve)
-    Yg = _k_gather_points(Y, jnp.asarray(order), curve)
-    Z = F.one_mont((N_WINDOWS, n))
-    vals = (Xg, Yg, Z)
-    flags = jnp.asarray(starts)
+    chunk = _window_chunk(n)
+    totals_parts = []
+    for w0 in range(0, N_WINDOWS, chunk):
+        order = order_all[w0 : w0 + chunk]
+        keys = keys_all[w0 : w0 + chunk]
+        cw = order.shape[0]
+        starts = np.concatenate(
+            [np.ones((cw, 1), bool), keys[:, 1:] != keys[:, :-1]], axis=1
+        )
+        ends = np.concatenate(
+            [keys[:, 1:] != keys[:, :-1], np.ones((cw, 1), bool)], axis=1
+        )
+        Xg = _k_gather_points(X, jnp.asarray(order), curve)
+        Yg = _k_gather_points(Y, jnp.asarray(order), curve)
+        Z = F.one_mont((cw, n))
+        vals = (Xg, Yg, Z)
+        flags = jnp.asarray(starts)
+        for k in range(log_n):
+            vals, flags = _k_seg_scan_step(vals, flags, curve, 1 << k)
+        buckets = _k_scatter_buckets(
+            vals, jnp.asarray(ends), jnp.asarray(keys), curve
+        )
+        totals_parts.append(_k_bucket_reduce(tuple(buckets), curve))
 
-    # segmented inclusive scan: log2(n) batched steps
-    for k in range(log_n):
-        vals, flags = _k_seg_scan_step(vals, flags, curve, 1 << k)
-
-    buckets = _k_scatter_buckets(vals, jnp.asarray(ends), jnp.asarray(keys), curve)
-    totals = _k_bucket_reduce(tuple(buckets), curve)  # leaves (16, 32)
+    if len(totals_parts) == 1:
+        totals = totals_parts[0]
+    else:
+        totals = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=1), *totals_parts
+        )
 
     # Horner across windows, high to low (host loop, single-point batch)
     def window(i):
