@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Benchmark driver: one JSON line on stdout.
+
+Primary metric (BASELINE.json): G1 MSM throughput in Mpoints/s on the real
+TPU chip, measured with host-transfer synchronization (the axon relay's
+block_until_ready is asynchronous, so every timing here forces a device ->
+host copy of the result before stopping the clock).
+
+vs_baseline compares against a 10 Mpoints/s reference figure for the
+arkworks CPU prover's multicore Pippenger at this size (the reference repo
+publishes no MSM numbers -- BASELINE.md -- so the comparison constant is the
+commonly measured arkworks =0.5.0 order of magnitude on a 16-core host).
+
+Secondary metrics go to stderr for the record.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # persistent compile cache: TPU kernel compiles go through a remote
+    # tunnel; caching makes repeat bench runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/zelana_tpu_xla_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from zelana_tpu.curves import g1 as G1
+    from zelana_tpu.fields.bn254 import R
+    from zelana_tpu.ops import limbs as L
+    from zelana_tpu.ops import msm_fast as MF
+
+    log("devices:", jax.devices())
+
+    # --- secondary: mont_mul and MiMC throughput -------------------------
+    import functools
+
+    spec = L.FQ
+    n = 1 << 18
+    rng = np.random.default_rng(0)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(a, b, k):
+        def body(x, _):
+            return L.mont_mul(x, b, spec), None
+
+        out, _ = jax.lax.scan(body, a, None, length=k)
+        return out[:, :4].sum()
+
+    m = jnp.asarray(
+        L.to_limbs([int(x) for x in rng.integers(0, 1 << 60, size=(n,))], spec)
+    )
+    _ = np.asarray(chain(m, m, 50))
+    t0 = time.time()
+    _ = np.asarray(chain(m, m, 50))
+    mulps = 50 * n / (time.time() - t0)
+    log(f"mont_mul: {mulps / 1e6:.1f} Mmul/s")
+
+    from zelana_tpu.hashes.mimc_jax import hash2_batch
+
+    hn = 1 << 16
+    ha = jnp.asarray(rng.integers(0, 1 << 16, size=(16, hn), dtype=np.uint32))
+    _ = np.asarray(hash2_batch(ha, ha))
+    t0 = time.time()
+    _ = np.asarray(hash2_batch(ha, ha))
+    log(f"mimc_hash2: {hn / (time.time() - t0) / 1e6:.2f} Mhash/s")
+
+    # --- primary: G1 MSM -------------------------------------------------
+    msm_n = 1 << 14
+    g = G1.generator()
+    pts = []
+    acc = g
+    for _ in range(msm_n):
+        pts.append(acc)
+        acc = G1.add(acc, g)
+    scalars = [int(x) for x in rng.integers(0, 1 << 63, size=(msm_n,))]
+    scalars = [(s * 2862933555777941757 + 3037000493) % R for s in scalars]
+
+    r1 = MF.msm_g1(pts, scalars)  # warm / compile
+    t0 = time.time()
+    r2 = MF.msm_g1(pts, scalars)
+    dt = time.time() - t0
+    assert r1 == r2
+    mpps = msm_n / dt / 1e6
+    log(f"msm_g1 2^14: {dt * 1e3:.0f} ms -> {mpps:.4f} Mpoints/s")
+
+    baseline_mpps = 10.0  # arkworks CPU multicore Pippenger, order of magnitude
+    print(
+        json.dumps(
+            {
+                "metric": "msm_g1_throughput",
+                "value": round(mpps, 4),
+                "unit": "Mpoints/s",
+                "vs_baseline": round(mpps / baseline_mpps, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

