@@ -219,12 +219,23 @@ def _skew_sum(mat):
 def mont_mul(a, b, spec: FieldSpec):
     """Montgomery product: a * b * R^{-1} mod p. a, b: (16, *B) normalized.
 
-    Default is the u32 CIOS path: measured on the v5e, XLA's emulated u32
-    multiply sustains ~17 Mmul/s here, while the f32 8-bit-plane variant
-    (_mont_mul_f32) loses its exactness advantage to HBM spills of the
-    64-column working state (~9 Mmul/s) unless fused -- the fused version
-    lives in ops/pallas_field.py and is the optimization track.
+    Dispatch: on TPU with a large batch, the fused Pallas kernel
+    (ops/pallas_field.py, f32 8-bit limb planes, measured ~2x the XLA u32
+    path and ~50% of this device's f32 FMA ceiling); otherwise the XLA u32
+    CIOS path. The pure-XLA f32 variant (_mont_mul_f32) is kept for
+    reference -- it loses its arithmetic advantage to HBM spills (~9 Mmul/s
+    vs 17 for u32, vs ~31 for the fused kernel).
     """
+    batch = 1
+    for d in a.shape[1:]:
+        batch *= d
+    if jax.default_backend() != "cpu" and batch >= 2048 and batch % 128 == 0:
+        from .pallas_field import mont_mul_pallas
+
+        flat_a = a.reshape(NLIMBS, batch)
+        flat_b = b.reshape(NLIMBS, batch)
+        out = mont_mul_pallas(flat_a, flat_b, spec)
+        return out.reshape(a.shape)
     return _mont_mul_u32(a, b, spec)
 
 
