@@ -1,0 +1,82 @@
+"""Solana-format conversion + on-chain verifier gate tests."""
+
+import base64
+import json
+
+from zelana_tpu.groth16.keys import VerifyingKey
+from zelana_tpu.groth16.solana_vk import convert_vk, upload_plan
+
+REF_VK = "/root/reference/prover/l2_vk.json"
+
+
+def test_convert_reference_vk():
+    raw = base64.b64decode(json.load(open(REF_VK))["verifying_key"])
+    vk = VerifyingKey.deserialize_compressed(raw)
+    svk = convert_vk(vk)
+    assert len(svk.alpha_g1) == 64
+    assert len(svk.beta_g2) == 128
+    assert len(svk.ic) == 3
+    # LE x-coordinate of alpha matches the point
+    assert int.from_bytes(svk.alpha_g1[:32], "little") == vk.alpha_g1[0]
+    plan = upload_plan(svk, chunk=2)
+    assert plan[0]["instruction"] == "init_batch_vk"
+    assert [p["instruction"] for p in plan[1:-1]] == ["append_ic_points"] * 2
+    assert plan[-1]["instruction"] == "finalize_batch_vk"
+
+
+def test_onchain_verifier_gate_end_to_end():
+    """Prove a tiny-but-7-input circuit and run it through the settler's
+    on-chain verification gate (the litesvm-equivalent check)."""
+    from zelana_tpu.groth16.prove import prove
+    from zelana_tpu.groth16.setup import keygen
+    from zelana_tpu.sequencer.onchain_verifier import verify_batch_proof
+    from zelana_tpu.sequencer.prover_service import (
+        BatchProof,
+        BatchPublicInputs,
+        proof_to_solana_bytes,
+    )
+    from zelana_tpu.sequencer.settler import OnchainVerifyingSettler
+
+    class SevenInput:
+        """Seven public inputs wired like the L2 circuit's interface, with a
+        trivial relation (in0 * in1 == product witness binding all seven)."""
+
+        def __init__(self, vals):
+            self.vals = vals
+
+        def generate_constraints(self, cs):
+            ins = [cs.new_input(v) for v in self.vals]
+            acc = cs.new_witness(1)
+            acc.enforce_equal(cs.constant(1))
+            prod = ins[0] * ins[1]
+            expected = cs.new_witness(self.vals[0] * self.vals[1])
+            prod.enforce_equal(expected)
+            # touch the rest so every input appears in a constraint
+            total = ins[2] + ins[3] + ins[4] + ins[5] + ins[6]
+            tw = cs.new_witness(sum(self.vals[2:]))
+            total.enforce_equal(tw)
+
+    roots = [b"\x01" + b"\x00" * 31, b"\x02" + b"\x00" * 31,
+             b"\x03" + b"\x00" * 31, b"\x04" + b"\x00" * 31,
+             b"\x05" + b"\x00" * 31, b"\x06" + b"\x00" * 31]
+    batch_id = 9
+    vals = [int.from_bytes(r, "little") for r in roots] + [batch_id]
+    circuit = SevenInput(vals)
+    pk = keygen(circuit, seed=0)
+    proof = prove(pk, circuit, batch_id=batch_id)
+
+    inputs = BatchPublicInputs(*roots, batch_id=batch_id)
+    bp = BatchProof(inputs, proof_to_solana_bytes(proof), 1)
+    assert verify_batch_proof(pk.vk, bp)
+
+    # settler gate accepts and produces the SubmitBatch instruction
+    settler = OnchainVerifyingSettler(pk.vk)
+    result = settler.submit(bp)
+    assert result.signature
+
+    # tampered public input is rejected by the gate
+    bad_inputs = BatchPublicInputs(
+        roots[0], b"\x07" + b"\x00" * 31, *roots[2:], batch_id=batch_id
+    )
+    bad = BatchProof(bad_inputs, bp.proof_bytes, 1)
+    assert not verify_batch_proof(pk.vk, bad)
