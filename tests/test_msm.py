@@ -97,6 +97,32 @@ def test_msm_g1_single():
     assert M.msm_g1([g], [s]) == G1.mul(g, s)
 
 
+def test_msm_fast_g1_matches_golden():
+    from zelana_tpu.ops import msm_fast as MF
+
+    g = G1.generator()
+    n = 24
+    points = [G1.mul(g, rng.randrange(1, R)) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[3] = 0
+    points[5] = None  # infinity in the query
+    points[10] = G1.neg(points[9])  # P + (-P) cancellation path
+    scalars[10] = scalars[9]
+    got = MF.msm_g1(points, scalars)
+    expected = G1.msm([p for p in points if p is not None],
+                      [s for p, s in zip(points, scalars) if p is not None])
+    assert got == expected
+
+
+def test_msm_fast_g2_matches_golden():
+    from zelana_tpu.ops import msm_fast as MF
+
+    g = G2.generator()
+    points = [G2.mul(g, rng.randrange(1, 10**5)) for _ in range(4)]
+    scalars = [rng.randrange(R) for _ in range(4)]
+    assert MF.msm_g2(points, scalars) == G2.msm(points, scalars)
+
+
 def test_msm_g2_small():
     g = G2.generator()
     n = 4

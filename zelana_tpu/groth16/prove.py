@@ -24,7 +24,7 @@ from ..curves import g1 as G1, g2 as G2
 from ..fields.bn254 import R as FR
 from ..ops import limbs as L
 from ..ops import ntt as NTT
-from ..ops import msm as MSM
+from ..ops import msm_fast as MSM
 from .keys import Proof, ProvingKey
 from .qap import matrix_vector_evals
 from .rng import DeterministicRng

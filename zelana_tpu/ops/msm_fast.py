@@ -316,9 +316,13 @@ def _k_bits_horner(Tx, Ty, Tinf, curve):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("curve",))
 def _combine_windows(window_sums, curve):
-    """Host-orchestrated window Horner using the cached kernel from msm.py."""
-    from .msm import _k_double8_add
+    """Window Horner as one scanned kernel (a host loop here would pay
+    ~31 remote-dispatch round trips for single-point work)."""
+    from .curve_ops import FqOps, Fq2Ops, point_add, point_double
+
+    PF = FqOps if curve == "g1" else Fq2Ops
 
     def wnd(i):
         return tuple(
@@ -328,9 +332,14 @@ def _combine_windows(window_sums, curve):
             )
         )
 
-    res = wnd(N_WINDOWS - 1)
-    for w in range(N_WINDOWS - 2, -1, -1):
-        res = _k_double8_add(res, wnd(w), curve)
+    def step(acc, w):
+        for _ in range(WINDOW_BITS):
+            acc = point_double(PF, acc)
+        return point_add(PF, acc, wnd(w)), None
+
+    res, _ = jax.lax.scan(
+        step, wnd(N_WINDOWS - 1), jnp.arange(N_WINDOWS - 2, -1, -1)
+    )
     return res
 
 
