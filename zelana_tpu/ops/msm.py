@@ -80,7 +80,6 @@ def g2_points_to_device(points):
 
 def scalar_digits(scalars, inf_mask=None) -> np.ndarray:
     """(n_windows, N) int32 digit matrix; infinity points get all-zero digits."""
-    arr = np.zeros((len(scalars),), dtype=object)
     digits = np.zeros((N_WINDOWS, len(scalars)), dtype=np.int32)
     for j, s in enumerate(scalars):
         s = int(s)
