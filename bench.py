@@ -75,6 +75,19 @@ def main():
     _ = np.asarray(hash2_batch(ha, ha))
     log(f"mimc_hash2: {hn / (time.time() - t0) / 1e6:.2f} Mhash/s")
 
+    # NTT roundtrip at 2^16 (the witness-map building block)
+    from zelana_tpu.ops import ntt as NTT
+
+    plan = NTT.make_plan(1 << 16)
+    poly = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(16, 1 << 16), dtype=np.uint32)
+    )
+    _ = np.asarray(NTT.intt(NTT.ntt(poly, plan), plan)[:, :2])
+    t0 = time.time()
+    _ = np.asarray(NTT.intt(NTT.ntt(poly, plan), plan)[:, :2])
+    dt_ntt = (time.time() - t0) / 2
+    log(f"ntt 2^16: {dt_ntt * 1e3:.0f} ms/transform")
+
     # --- primary: G1 MSM -------------------------------------------------
     msm_n = 1 << 14
     g = G1.generator()

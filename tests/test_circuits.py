@@ -210,3 +210,40 @@ def test_batch_mimc_circuit_rejects_overdraft():
     cs = ConstraintSystem()
     circuit.generate_constraints(cs)
     assert cs.is_satisfied() is not None
+
+
+# ------------------------------------------------------------- ownership
+
+
+def test_ownership_circuit_end_to_end():
+    """The client-side ownership relation proves and verifies (Groth16)."""
+    from zelana_tpu.circuits.ownership import OwnershipCircuit
+    from zelana_tpu.groth16.prove import prove, public_inputs_of
+    from zelana_tpu.groth16.setup import keygen
+    from zelana_tpu.groth16.verify import verify
+
+    circuit = OwnershipCircuit.from_witness(
+        spending_key=12345, value=777, blinding=999, position=5
+    )
+    cs = ConstraintSystem()
+    circuit.generate_constraints(cs)
+    assert cs.num_instance == 4  # 3 public inputs + ONE
+    assert cs.is_satisfied() is None
+
+    pk = keygen(circuit, seed=0)
+    proof = prove(pk, circuit, batch_id=1)
+    pub = public_inputs_of(circuit)
+    assert verify(pk.vk, proof, pub)
+    bad = list(pub)
+    bad[2] = bad[2] + 1
+    assert not verify(pk.vk, proof, bad)
+
+
+def test_ownership_circuit_rejects_wrong_key():
+    from zelana_tpu.circuits.ownership import OwnershipCircuit
+
+    circuit = OwnershipCircuit.from_witness(12345, 777, 999, 5)
+    circuit.spending_key = 54321  # not the key behind the commitment
+    cs = ConstraintSystem()
+    circuit.generate_constraints(cs)
+    assert cs.is_satisfied() is not None

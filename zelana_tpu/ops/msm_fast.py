@@ -246,9 +246,9 @@ def _ops(curve):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("curve", "out_start"), donate_argnums=(0, 1, 2)
+    jax.jit, static_argnames=("curve",), donate_argnums=(0, 1, 2)
 )
-def _k_round(Vx, Vy, Vinf, idx_a, idx_b, curve, out_start):
+def _k_round(Vx, Vy, Vinf, idx_a, idx_b, out_start, curve):
     """One pair-reduction round: affine add gathered slot pairs, write out."""
     F = _ops(curve)
     ax, ay = F.gather(Vx, idx_a), F.gather(Vy, idx_a)
@@ -409,7 +409,9 @@ def _msm_fast(coords, digits_np, curve: str):
         # + m; those slots are only ever read if they belong to the schedule,
         # which they don't (slot ids grow monotonically), except the padding
         # writes stay within the pool bounds via total-slot padding below.
-        Vx, Vy, Vinf = _k_round(Vx, Vy, Vinf, ia, ib, curve, rnd.out_start)
+        Vx, Vy, Vinf = _k_round(
+            Vx, Vy, Vinf, ia, ib, jnp.int32(rnd.out_start), curve
+        )
 
     gx = jax.tree_util.tree_map(lambda a: a[:, finals.reshape(-1)], Vx)
     gy = jax.tree_util.tree_map(lambda a: a[:, finals.reshape(-1)], Vy)

@@ -45,6 +45,34 @@ class NttPlan:
     def n(self):
         return self.domain.size
 
+    # device-resident copies (tuples so the jitted core sees a stable pytree)
+    def twiddles_dev(self):
+        if not hasattr(self, "_tw_dev"):
+            self._tw_dev = tuple(jnp.asarray(t) for t in self.stage_twiddles)
+        return self._tw_dev
+
+    def twiddles_inv_dev(self):
+        if not hasattr(self, "_twi_dev"):
+            self._twi_dev = tuple(
+                jnp.asarray(t) for t in self.stage_twiddles_inv
+            )
+        return self._twi_dev
+
+    def bitrev_dev(self):
+        if not hasattr(self, "_br_dev"):
+            self._br_dev = jnp.asarray(self.bitrev)
+        return self._br_dev
+
+    def coset_dev(self):
+        if not hasattr(self, "_cs_dev"):
+            self._cs_dev = jnp.asarray(self.coset_pows)
+        return self._cs_dev
+
+    def coset_inv_dev(self):
+        if not hasattr(self, "_csi_dev"):
+            self._csi_dev = jnp.asarray(self.coset_pows_inv)
+        return self._csi_dev
+
 
 @functools.lru_cache(maxsize=None)
 def make_plan(min_size: int) -> NttPlan:
@@ -81,10 +109,16 @@ def make_plan(min_size: int) -> NttPlan:
     )
 
 
+@jax.jit
 def _ntt_core(x, stage_twiddles, bitrev):
-    """x: (16, n) Montgomery limbs -> (16, n) evaluations (natural order)."""
+    """x: (16, n) Montgomery limbs -> (16, n) evaluations (natural order).
+
+    Whole transform under one jit: the eager per-stage version paid ~5
+    device dispatches per butterfly stage, which dominates through the
+    remote execution relay.
+    """
     n = x.shape[1]
-    x = jnp.take(x, jnp.asarray(bitrev), axis=1)
+    x = jnp.take(x, bitrev, axis=1)
     log_n = n.bit_length() - 1
     for s in range(log_n):
         half = 1 << s
@@ -93,7 +127,7 @@ def _ntt_core(x, stage_twiddles, bitrev):
         a = x[:, :, 0, :]
         b = x[:, :, 1, :]
         tw = jnp.broadcast_to(
-            jnp.asarray(stage_twiddles[s])[:, None, :], (L.NLIMBS, groups, half)
+            stage_twiddles[s][:, None, :], (L.NLIMBS, groups, half)
         )
         bt = L.mont_mul(b, tw, L.FR)
         even = L.add(a, bt, L.FR)
@@ -104,22 +138,22 @@ def _ntt_core(x, stage_twiddles, bitrev):
 
 def ntt(x, plan: NttPlan):
     """Forward NTT: coefficients -> evaluations at powers of group_gen."""
-    return _ntt_core(x, plan.stage_twiddles, plan.bitrev)
+    return _ntt_core(x, plan.twiddles_dev(), plan.bitrev_dev())
 
 
 def intt(x, plan: NttPlan):
     """Inverse NTT: evaluations -> coefficients."""
-    y = _ntt_core(x, plan.stage_twiddles_inv, plan.bitrev)
+    y = _ntt_core(x, plan.twiddles_inv_dev(), plan.bitrev_dev())
     n_inv = L.broadcast_scalar(plan.n_inv_mont, y.shape[1:])
     return L.mont_mul(y, n_inv, L.FR)
 
 
 def coset_ntt(x, plan: NttPlan):
     """Evaluate on the coset g * <omega> (g = 5, matching ark-poly)."""
-    scaled = L.mont_mul(x, jnp.asarray(plan.coset_pows), L.FR)
+    scaled = L.mont_mul(x, plan.coset_dev(), L.FR)
     return ntt(scaled, plan)
 
 
 def coset_intt(x, plan: NttPlan):
     coeffs = intt(x, plan)
-    return L.mont_mul(coeffs, jnp.asarray(plan.coset_pows_inv), L.FR)
+    return L.mont_mul(coeffs, plan.coset_inv_dev(), L.FR)
