@@ -258,3 +258,193 @@ def test_http_api_end_to_end():
     finally:
         server.shutdown()
         service.stop()
+
+
+# --------------------------------------------------- extended API surface
+
+
+def test_api_tx_batch_queries_and_withdraw_status():
+    from zelana_tpu.sequencer.api import start_api
+
+    orch = make_orchestrator()
+    service = PipelineService(orch).start()
+    server, port = start_api(orch)
+    try:
+        _req(port, "POST", "/dev/deposit", {"to": ALICE.hex(), "amount": 500})
+        tx = signed_transfer(ALICE_SEED, ALICE, BOB, 50, 0)
+        code, resp = _req(port, "POST", "/transfer", {
+            "from": ALICE.hex(), "to": BOB.hex(), "amount": 50, "nonce": 0,
+            "signature": tx.signature.hex(),
+        })
+        assert code == 200 and resp["tx_hash"]
+        transfer_hash = resp["tx_hash"]
+
+        wd = Withdraw(from_=ALICE, to_l1_address=b"\x09" * 32, amount=25,
+                      nonce=1)
+        wd.signature = crypto.sign(ALICE_SEED, wd.signing_message())
+        code, wresp = _req(port, "POST", "/withdraw", {
+            "from": ALICE.hex(), "to_l1_address": (b"\x09" * 32).hex(),
+            "amount": 25, "nonce": 1, "signature": wd.signature.hex(),
+        })
+        assert code == 200 and wresp["accepted"]
+
+        _req(port, "POST", "/dev/seal", {})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            _, stats = _req(port, "GET", "/status/stats")
+            if stats["batches_settled"] >= 1:
+                break
+            time.sleep(0.1)
+
+        code, rec = _req(port, "POST", "/tx", {"tx_hash": transfer_hash})
+        assert code == 200 and rec["status"] == "finalized"
+        assert rec["kind"] == "transfer" and rec["batch_id"] is not None
+
+        code, txs = _req(port, "POST", "/txs", {"limit": 10})
+        assert code == 200 and len(txs["txs"]) == 3  # deposit+transfer+wd
+
+        code, batch = _req(port, "POST", "/batch",
+                           {"batch_id": rec["batch_id"]})
+        assert code == 200 and batch["txs"] == 3 and batch["withdrawals"] == 1
+        code, batches = _req(port, "POST", "/batches", {})
+        assert code == 200 and len(batches["batches"]) == 1
+
+        code, st = _req(port, "POST", "/withdraw/status",
+                        {"tx_hash": wresp["tx_hash"]})
+        assert code == 200 and st["state"] == "finalized"
+        assert st["l1_signature"]
+
+        code, acct = _req(port, "POST", "/account",
+                          {"account_id": ALICE.hex()})
+        assert code == 200 and acct["balance"] == 425
+    finally:
+        server.shutdown()
+        service.stop()
+
+
+def test_api_fast_withdrawals():
+    from zelana_tpu.sequencer.api import start_api
+
+    orch = make_orchestrator()
+    service = PipelineService(orch).start()
+    server, port = start_api(orch)
+    try:
+        _req(port, "POST", "/dev/deposit", {"to": ALICE.hex(), "amount": 1000})
+
+        # no liquidity yet
+        code, quote = _req(port, "POST", "/withdraw/fast/quote",
+                           {"amount": 100})
+        assert code == 200 and not quote["available"]
+
+        code, lp = _req(port, "POST", "/withdraw/fast/register_lp",
+                        {"lp": (b"\x0a" * 32).hex(), "amount": 10_000})
+        assert code == 200 and lp["total_liquidity"] == 10_000
+
+        code, quote = _req(port, "POST", "/withdraw/fast/quote",
+                           {"amount": 100})
+        assert code == 200 and quote["available"]
+        assert quote["amount_received"] == 100 - quote["fee"]
+
+        wd = Withdraw(from_=ALICE, to_l1_address=b"\x0b" * 32, amount=100,
+                      nonce=0)
+        wd.signature = crypto.sign(ALICE_SEED, wd.signing_message())
+        code, resp = _req(port, "POST", "/withdraw/fast/execute", {
+            "from": ALICE.hex(), "to_l1_address": (b"\x0b" * 32).hex(),
+            "amount": 100, "nonce": 0, "signature": wd.signature.hex(),
+        })
+        assert code == 200 and resp["amount_received"] == quote["amount_received"]
+        assert orch.fast_withdrawals.outstanding == 100
+
+        _req(port, "POST", "/dev/seal", {})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if orch.fast_withdrawals.outstanding == 0:
+                break
+            time.sleep(0.1)
+        assert orch.fast_withdrawals.outstanding == 0  # released on settle
+    finally:
+        server.shutdown()
+        service.stop()
+
+
+def test_api_encrypted_mempool_flow():
+    from zelana_tpu.sdk.threshold import encrypt_for_mempool
+    from zelana_tpu.sequencer.api import start_api
+
+    cfg = PipelineConfig(batch=BatchConfig(max_age_secs=3600))
+    orch = PipelineOrchestrator(config=cfg, dev_mode=True)
+    service = PipelineService(orch).start()
+    server, port = start_api(orch)
+    try:
+        code, info = _req(port, "GET", "/encrypted/committee")
+        assert code == 200 and info["threshold"] == 3
+        assert len(info["members"]) == 5
+
+        _req(port, "POST", "/dev/deposit", {"to": ALICE.hex(), "amount": 300})
+
+        payload = json.dumps({
+            "from": ALICE.hex(), "to": BOB.hex(), "amount": 77, "nonce": 0,
+        }).encode()
+        etx = encrypt_for_mempool(payload, orch.committee)
+        code, resp = _req(port, "POST", "/encrypted/submit", {
+            "tx_id": etx.tx_id.hex(),
+            "ciphertext": etx.ciphertext.hex(),
+            "encrypted_shares": {
+                str(k): v.hex() for k, v in etx.encrypted_shares.items()
+            },
+        })
+        assert code == 200
+
+        deadline = time.time() + 10
+        while time.time() < deadline:  # tick drains + decrypts the mempool
+            if not orch.mempool.queue:
+                break
+            time.sleep(0.1)
+        _req(port, "POST", "/dev/seal", {})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            _, acct = _req(port, "POST", "/account", {"account_id": BOB.hex()})
+            if acct.get("balance") == 77:
+                break
+            time.sleep(0.1)
+        assert acct["balance"] == 77
+    finally:
+        server.shutdown()
+        service.stop()
+
+
+def test_api_shielded_scan_and_merkle_path():
+    from zelana_tpu.sequencer.api import start_api
+
+    cfg = PipelineConfig(batch=BatchConfig(max_age_secs=3600))
+    orch = PipelineOrchestrator(config=cfg, dev_mode=True)
+    service = PipelineService(orch).start()
+    server, port = start_api(orch)
+    try:
+        code, resp = _req(port, "POST", "/shielded/submit", {
+            "proof": ("11" * 80),
+            "nullifier": (b"\x01" * 32).hex(),
+            "commitment": (b"\x02" * 32).hex(),
+            "ciphertext": ("ab" * 100),
+        })
+        assert code == 200 and resp["accepted"]
+
+        _req(port, "POST", "/dev/seal", {})
+        deadline = time.time() + 10
+        while time.time() < deadline:  # notes persist at settlement
+            _, stats = _req(port, "GET", "/status/stats")
+            if stats["batches_settled"] >= 1:
+                break
+            time.sleep(0.1)
+
+        code, scan = _req(port, "POST", "/shielded/scan", {})
+        assert code == 200 and scan["tree_size"] == 1
+        assert len(scan["notes"]) == 1
+        assert scan["notes"][0]["commitment"] == (b"\x02" * 32).hex()
+        assert scan["notes"][0]["ciphertext"] == "ab" * 100
+
+        code, mp = _req(port, "POST", "/shielded/merkle_path", {"position": 0})
+        assert code == 200 and len(mp["siblings"]) == 32
+    finally:
+        server.shutdown()
+        service.stop()

@@ -20,8 +20,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 from urllib.parse import urlparse
 
-from .pipeline import PipelineOrchestrator
+from .pipeline import PipelineOrchestrator, tx_hash
 from .transactions import Deposit, Shielded, Transfer, Withdraw
+
+
+def _pipeline_tx_hash(tx) -> str:
+    return tx_hash(tx).hex()
 
 
 def _hex(b: bytes) -> str:
@@ -117,6 +121,16 @@ def create_handler(state: ApiState):
                     })
                 if path == "/shielded/root":
                     return self._json(200, {"root": _hex(orch.shielded.root())})
+                if path == "/encrypted/committee":
+                    if orch.committee is None:
+                        return self._json(404, {"error": "no committee"})
+                    return self._json(200, {
+                        "threshold": orch.committee.threshold,
+                        "members": [
+                            {"index": m.index, "x25519_pk": _hex(m.x25519_pk)}
+                            for m in orch.committee.members
+                        ],
+                    })
                 if len(parts) == 3 and parts[0] == "v2" and parts[2] == "status":
                     job = state.prove_jobs.get(parts[1])
                     if job is None:
@@ -149,6 +163,7 @@ def create_handler(state: ApiState):
                     code = 200 if res.accepted else 400
                     return self._json(code, {
                         "accepted": res.accepted, "error": res.error,
+                        "tx_hash": _pipeline_tx_hash(tx) if res.accepted else None,
                     })
                 if path == "/withdraw":
                     tx = Withdraw(
@@ -161,6 +176,7 @@ def create_handler(state: ApiState):
                     res = orch.submit(tx)
                     return self._json(200 if res.accepted else 400, {
                         "accepted": res.accepted, "error": res.error,
+                        "tx_hash": _pipeline_tx_hash(tx) if res.accepted else None,
                     })
                 if path in ("/shielded/submit", "/shielded/delegated"):
                     tx = Shielded(
@@ -174,6 +190,123 @@ def create_handler(state: ApiState):
                     res = orch.submit(tx)
                     return self._json(200 if res.accepted else 400, {
                         "accepted": res.accepted, "error": res.error,
+                    })
+                if path == "/account":
+                    aid = _unhex(body["account_id"])
+                    acct = orch.get_account(aid)
+                    resp = {"balance": acct.balance, "nonce": acct.nonce}
+                    pending = orch.get_pending_account(aid)
+                    if pending is not None:
+                        if pending.balance != acct.balance:
+                            resp["pending_balance"] = pending.balance
+                        if pending.nonce != acct.nonce:
+                            resp["pending_nonce"] = pending.nonce
+                    return self._json(200, resp)
+                if path == "/shielded/merkle_path":
+                    mp = orch.shielded.tree.path(int(body["position"]))
+                    if mp is None:
+                        return self._json(404, {"error": "unknown position"})
+                    return self._json(200, {
+                        "siblings": [_hex(s) for s in mp.siblings],
+                        "path_bits": [int(b) for b in mp.path_bits],
+                        "position": mp.position,
+                        "root": _hex(orch.shielded.root()),
+                    })
+                if path == "/shielded/scan":
+                    start = int(body.get("from_position", 0))
+                    limit = int(body.get("limit", 1000))
+                    notes = []
+                    for key, value in orch.store.scan("encrypted_notes"):
+                        pos = int.from_bytes(key, "little")
+                        if pos < start:
+                            continue
+                        notes.append({
+                            "position": pos,
+                            "commitment": _hex(value[:32]),
+                            "ciphertext": _hex(value[32:]),
+                        })
+                        if len(notes) >= limit:
+                            break
+                    return self._json(200, {
+                        "notes": notes,
+                        "tree_size": orch.shielded.tree.next_index,
+                    })
+                if path == "/withdraw/status":
+                    h = _unhex(body["tx_hash"])
+                    wd_id = orch._wd_by_hash.get(h)
+                    if wd_id is None:
+                        return self._json(404, {"error": "unknown withdrawal"})
+                    wd = orch.withdrawals.items[wd_id]
+                    return self._json(200, {
+                        "state": wd.state.value,
+                        "batch_id": wd.batch_id,
+                        "l1_signature": wd.l1_signature,
+                        "amount": wd.amount,
+                    })
+                if path == "/withdraw/fast/quote":
+                    amount = int(body["amount"])
+                    fw = orch.fast_withdrawals
+                    available = fw.can_front(amount)
+                    return self._json(200, {
+                        "available": available,
+                        "amount": amount,
+                        "fee": amount - fw.quote(amount),
+                        "amount_received": fw.quote(amount),
+                        "fee_bps": fw.config.fee_bps,
+                    })
+                if path == "/withdraw/fast/execute":
+                    tx = Withdraw(
+                        from_=_unhex(body["from"]),
+                        to_l1_address=_unhex(body["to_l1_address"]),
+                        amount=int(body["amount"]),
+                        nonce=int(body["nonce"]),
+                        signature=bytes.fromhex(body.get("signature", "")),
+                    )
+                    received, err = orch.execute_fast_withdraw(tx)
+                    if err is not None:
+                        return self._json(400, {"accepted": False, "error": err})
+                    return self._json(200, {
+                        "accepted": True, "amount_received": received,
+                    })
+                if path == "/withdraw/fast/register_lp":
+                    orch.fast_withdrawals.add_liquidity(
+                        _unhex(body["lp"]), int(body["amount"])
+                    )
+                    return self._json(200, {
+                        "total_liquidity": orch.fast_withdrawals.total_liquidity(),
+                    })
+                if path == "/encrypted/submit":
+                    from ..sdk.threshold import EncryptedTx
+
+                    etx = EncryptedTx(
+                        tx_id=bytes.fromhex(body["tx_id"]),
+                        ciphertext=bytes.fromhex(body["ciphertext"]),
+                        encrypted_shares={
+                            int(k): bytes.fromhex(v)
+                            for k, v in body["encrypted_shares"].items()
+                        },
+                    )
+                    orch.submit_encrypted(etx)
+                    return self._json(200, {"tx_id": body["tx_id"]})
+                if path == "/batch":
+                    record = orch.get_batch_record(int(body["batch_id"]))
+                    if record is None:
+                        return self._json(404, {"error": "unknown batch"})
+                    return self._json(200, record)
+                if path == "/batches":
+                    return self._json(200, {
+                        "batches": orch.list_batch_records(
+                            int(body.get("limit", 100))
+                        ),
+                    })
+                if path == "/tx":
+                    record = orch.get_tx(_unhex(body["tx_hash"]))
+                    if record is None:
+                        return self._json(404, {"error": "unknown tx"})
+                    return self._json(200, record)
+                if path == "/txs":
+                    return self._json(200, {
+                        "txs": orch.list_txs(int(body.get("limit", 100))),
                     })
                 if path == "/dev/deposit":
                     tx = Deposit(

@@ -18,6 +18,8 @@ roots computed from the same balances, so real proofs verify end to end.
 from __future__ import annotations
 
 import enum
+import hashlib
+import json
 import threading
 import time
 from dataclasses import dataclass, field
@@ -25,6 +27,7 @@ from typing import Optional
 
 from .account_tree import AccountState, AccountTree
 from .batch import Batch, BatchConfig, BatchManager, BatchState
+from .bridge import FastWithdrawManager, WithdrawalQueue
 from .prover_service import (
     BatchPublicInputs,
     BatchWitness,
@@ -34,8 +37,26 @@ from .prover_service import (
 from .settler import MockSettler
 from .shielded_state import ShieldedState
 from .store import Store
-from .transactions import Transfer, Withdraw
+from .transactions import Shielded, Transfer, Withdraw, tx_kind
 from .tx_router import TxRouter
+
+
+def tx_hash(tx) -> bytes:
+    """Canonical transaction hash for the tx index (db.rs tx_index CF)."""
+    if hasattr(tx, "signing_message"):
+        return hashlib.sha256(
+            tx_kind(tx).encode() + b"\x00" + tx.signing_message()
+        ).digest()
+    if isinstance(tx, Shielded):
+        return hashlib.sha256(
+            b"zelana:shielded:v1" + tx.nullifier + tx.commitment
+        ).digest()
+    return hashlib.sha256(  # deposit
+        b"zelana:deposit:v1"
+        + tx.to
+        + tx.amount.to_bytes(8, "little")
+        + tx.l1_seq.to_bytes(8, "little")
+    ).digest()
 
 
 class ProverMode(enum.Enum):
@@ -78,6 +99,25 @@ class PipelineOrchestrator:
         self.stats = PipelineStats()
         self._settle_retries = 0
         self._lock = threading.RLock()
+        # bridge-side services (bridge/{withdrawals,fast_withdrawals}.rs)
+        self.withdrawals = WithdrawalQueue(self.store)
+        self.fast_withdrawals = FastWithdrawManager()
+        self._wd_by_hash = {}  # tx_hash -> withdrawal queue id
+        self._fronted = set()  # withdrawal ids fronted by LPs
+        self._pending_notes = {}  # commitment -> ciphertext (until settled)
+        # threshold-encrypted mempool (mempool/threshold_mempool.rs); a dev
+        # committee mirrors create_test_committee (core main.rs:204-208)
+        from ..sdk.threshold import Committee, EncryptedMempool
+
+        self.mempool = EncryptedMempool()
+        self.committee = None
+        self._committee_sks = None
+        if dev_mode:
+            committee, sks = Committee.create_test()
+            self.committee = committee
+            self._committee_sks = {
+                m.index: sk for m, sk in zip(committee.members, sks)
+            }
 
     # -- state access -------------------------------------------------------
 
@@ -88,6 +128,14 @@ class PipelineOrchestrator:
         balance = int.from_bytes(raw[:8], "little")
         nonce = int.from_bytes(raw[8:16], "little")
         return AccountState(balance, nonce)
+
+    def get_pending_account(self, account_id: bytes):
+        """In-flight state from the accumulating batch, if it differs from
+        the finalized view (handlers.rs get_account's pending fields)."""
+        cur = self.batches.current
+        if cur is None:
+            return None
+        return cur.diff.account_updates.get(account_id)
 
     def _persist_account(self, account_id: bytes, state: AccountState):
         self.store.put(
@@ -101,11 +149,112 @@ class PipelineOrchestrator:
     def submit(self, tx):
         with self._lock:
             self.stats.submitted += 1
-            return self.batches.submit_transaction(tx)
+            result = self.batches.submit_transaction(tx)
+            if result.accepted:
+                h = tx_hash(tx)
+                self._index_tx(h, tx, "pending")
+                if isinstance(tx, Withdraw):
+                    wd = self.withdrawals.enqueue(
+                        tx.from_, tx.to_l1_address, tx.amount
+                    )
+                    self._wd_by_hash[h] = wd.id
+                if isinstance(tx, Shielded) and tx.ciphertext:
+                    # note ciphertext persists once the commitment lands in
+                    # the tree at settlement (position known then)
+                    self._pending_notes[tx.commitment] = tx.ciphertext
+            return result
+
+    def submit_encrypted(self, etx) -> bytes:
+        """Queue a threshold-encrypted tx; decrypted at the next tick after
+        blind ordering (threshold_mempool.rs)."""
+        with self._lock:
+            self.mempool.submit(etx)
+            return etx.tx_id
+
+    def _drain_encrypted(self):
+        if not self.mempool.queue or self.committee is None:
+            return
+        from ..sdk.threshold import DecryptionCoordinator
+
+        coordinator = DecryptionCoordinator(self.committee)
+        pending, self.mempool.queue = self.mempool.ordered(), []
+        for etx in pending:
+            try:
+                raw = coordinator.decrypt(etx, self._committee_sks)
+                body = json.loads(raw)
+                tx = Transfer(
+                    signer_pubkey=bytes.fromhex(body["from"]),
+                    to=bytes.fromhex(body["to"]),
+                    amount=int(body["amount"]),
+                    nonce=int(body["nonce"]),
+                    signature=bytes.fromhex(body.get("signature", "")),
+                )
+            except Exception:
+                continue  # undecryptable/garbled: drop (reference logs + skips)
+            self.stats.submitted += 1
+            self.batches.submit_transaction(tx)
+
+    def execute_fast_withdraw(self, tx: Withdraw):
+        """LP-fronted instant exit (fast_withdrawals.rs): the withdrawal goes
+        through the normal batch path; the LP fronts the L1 payout now and is
+        made whole (plus fee) when the batch settles."""
+        with self._lock:
+            if not self.fast_withdrawals.can_front(tx.amount):
+                return None, "insufficient LP liquidity"
+            result = self.submit(tx)
+            if not result.accepted:
+                return None, result.error
+            received = self.fast_withdrawals.front(tx.amount)
+            self._fronted.add(self._wd_by_hash[tx_hash(tx)])
+            return received, None
 
     def seal(self) -> Optional[Batch]:
         with self._lock:
             return self.batches.seal()
+
+    # -- tx / batch index (db.rs tx_index + batches CFs) ---------------------
+
+    def _index_tx(self, h: bytes, tx, status: str, batch_id=None):
+        record = {"kind": tx_kind(tx), "status": status, "batch_id": batch_id}
+        if hasattr(tx, "amount"):
+            record["amount"] = tx.amount
+        self.store.put("tx_index", h, json.dumps(record).encode())
+
+    def _set_tx_status(self, h: bytes, status: str, batch_id=None):
+        raw = self.store.get("tx_index", h)
+        if raw is None:
+            return
+        record = json.loads(raw)
+        record["status"] = status
+        if batch_id is not None:
+            record["batch_id"] = batch_id
+        self.store.put("tx_index", h, json.dumps(record).encode())
+
+    def get_tx(self, h: bytes) -> Optional[dict]:
+        raw = self.store.get("tx_index", h)
+        return None if raw is None else json.loads(raw)
+
+    def list_txs(self, limit: int = 100) -> list:
+        out = []
+        for key, raw in self.store.scan("tx_index"):
+            record = json.loads(raw)
+            record["tx_hash"] = key.hex()
+            out.append(record)
+            if len(out) >= limit:
+                break
+        return out
+
+    def get_batch_record(self, batch_id: int) -> Optional[dict]:
+        raw = self.store.get("batches", batch_id.to_bytes(8, "little"))
+        return None if raw is None else json.loads(raw)
+
+    def list_batch_records(self, limit: int = 100) -> list:
+        out = []
+        for _, raw in self.store.scan("batches"):
+            out.append(json.loads(raw))
+            if len(out) >= limit:
+                break
+        return out
 
     # -- pipeline tick ------------------------------------------------------
 
@@ -113,6 +262,7 @@ class PipelineOrchestrator:
         if self.stats.paused:
             return
         with self._lock:
+            self._drain_encrypted()
             self.batches.check_timeout()
             self._try_prove()
             self._try_settle()
@@ -160,6 +310,12 @@ class PipelineOrchestrator:
         if batch is None:
             return
         batch.state = BatchState.PROVING
+        for tx in batch.transactions:
+            h = tx_hash(tx)
+            self._set_tx_status(h, "in_batch", batch.id)
+            wd_id = self._wd_by_hash.get(h)
+            if wd_id is not None:
+                self.withdrawals.mark_in_batch(wd_id, batch.id)
         witness = build_witness(batch, self.get_account)
         if self.config.prover_mode is ProverMode.GROTH16:
             inputs = self._fold_public_inputs(batch, witness)
@@ -196,7 +352,16 @@ class PipelineOrchestrator:
                 )
             return
         self._settle_retries = 0
+        note_position = self.shielded.tree.next_index  # pre-commit position
         self.batches.batch_settled(batch, result.signature)
+        for i, cm in enumerate(batch.diff.new_commitments):
+            ciphertext = self._pending_notes.pop(cm, None)
+            if ciphertext is not None:
+                self.store.put(
+                    "encrypted_notes",
+                    (note_position + i).to_bytes(8, "little"),
+                    cm + ciphertext,
+                )
         # persist committed account state
         for account_id, state in batch.diff.account_updates.items():
             self._persist_account(account_id, state)
@@ -204,6 +369,31 @@ class PipelineOrchestrator:
             self.store.put("nullifiers", nf, b"\x01")
         for cm in batch.diff.new_commitments:
             self.store.put("commitments", cm, b"\x01")
+        for tx in batch.transactions:
+            h = tx_hash(tx)
+            self._set_tx_status(h, "finalized", batch.id)
+            wd_id = self._wd_by_hash.get(h)
+            if wd_id is not None:
+                self.withdrawals.mark_submitted(wd_id, result.signature)
+                self.withdrawals.mark_finalized(wd_id)
+                if wd_id in self._fronted:
+                    self._fronted.discard(wd_id)
+                    self.fast_withdrawals.settle(
+                        self.withdrawals.items[wd_id].amount
+                    )
+        self.store.put(
+            "batches",
+            batch.id.to_bytes(8, "little"),
+            json.dumps({
+                "id": batch.id,
+                "state": batch.state.value,
+                "txs": len(batch.transactions),
+                "transfers": batch.num_transfers,
+                "withdrawals": batch.num_withdrawals,
+                "shielded": batch.num_shielded,
+                "signature": result.signature,
+            }).encode(),
+        )
         self.stats.batches_settled += 1
 
     # -- operator commands --------------------------------------------------
