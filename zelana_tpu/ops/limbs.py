@@ -88,14 +88,16 @@ BLS_FR = FieldSpec(_BLS_R)
 
 
 def to_limbs(values, spec: FieldSpec | None = None) -> np.ndarray:
-    """List/array of python ints -> uint32 (NLIMBS, N). Not Montgomery."""
-    values = list(values)
-    out = np.zeros((NLIMBS, len(values)), dtype=np.uint32)
-    for j, v in enumerate(values):
-        v = int(v)
-        for i in range(NLIMBS):
-            out[i, j] = (v >> (LIMB_BITS * i)) & MASK
-    return out
+    """List/array of python ints -> uint32 (NLIMBS, N). Not Montgomery.
+
+    Vectorized through a byte buffer: per-value work is one 32-byte LE
+    serialization; the limb split is a numpy view (matters at MSM sizes,
+    where a per-limb python loop costs more than the device compute).
+    """
+    buf = b"".join(int(v).to_bytes(32, "little") for v in values)
+    n = len(buf) // 32
+    arr = np.frombuffer(buf, dtype="<u2").reshape(n, NLIMBS)
+    return np.ascontiguousarray(arr.T).astype(np.uint32)
 
 
 def from_limbs(arr) -> list:
@@ -464,6 +466,56 @@ def mont_batch_inv_logdepth(a, spec: FieldSpec):
         jnp.broadcast_to(total_inv, a.shape),
         spec,
     )
+    return select(zero_mask, jnp.zeros_like(out), out)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def mont_batch_inv_nested(a, spec: FieldSpec):
+    """Batch inversion along the last axis via nested serial chains.
+
+    Montgomery's trick over chains of 16 along the last axis, with the
+    chain totals inverted recursively (one more chain level per factor of
+    16) down to a small log-depth base case. Work is O(N) -- vs the
+    O(N log N) of the associative-scan variant -- and every multiply in
+    the forward/backward scans runs at batch N/16, large enough to stay
+    on the fused Pallas multiplier path for MSM-sized rounds. Zeros pass
+    through as zero.
+    """
+    n = a.shape[-1]
+    chain = 16
+    if (
+        a.ndim == 2
+        and n % 1024 == 0
+        and jax.default_backend() != "cpu"
+    ):
+        from .pallas_field import batch_inv_pallas
+
+        zero_mask = is_zero(a)
+        safe = select(zero_mask, broadcast_scalar(spec.one_mont, a.shape[1:]), a)
+        out = batch_inv_pallas(safe, spec)
+        return select(zero_mask, jnp.zeros_like(out), out)
+    if n % chain != 0 or n <= 4096:
+        return mont_batch_inv_logdepth(a, spec)
+    zero_mask = is_zero(a)
+    safe = select(zero_mask, broadcast_scalar(spec.one_mont, a.shape[1:]), a)
+
+    a4 = safe.reshape(safe.shape[:-1] + (n // chain, chain))
+    seq = jnp.moveaxis(a4, -1, 0)  # (chain, NLIMBS, *batch, n//chain)
+    one = broadcast_scalar(spec.one_mont, seq.shape[2:])
+
+    def fwd(acc, x):
+        return mont_mul(acc, x, spec), acc  # emit exclusive prefix
+
+    total, prefixes = jax.lax.scan(fwd, one, seq)
+    total_inv = mont_batch_inv_nested(total, spec)
+
+    def bwd(suffix, xs):
+        x, prefix = xs
+        out = mont_mul(suffix, prefix, spec)
+        return mont_mul(suffix, x, spec), out
+
+    _, outs = jax.lax.scan(bwd, total_inv, (seq, prefixes), reverse=True)
+    out = jnp.moveaxis(outs, 0, -1).reshape(a.shape)
     return select(zero_mask, jnp.zeros_like(out), out)
 
 

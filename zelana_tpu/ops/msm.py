@@ -79,12 +79,15 @@ def g2_points_to_device(points):
 
 
 def scalar_digits(scalars, inf_mask=None) -> np.ndarray:
-    """(n_windows, N) int32 digit matrix; infinity points get all-zero digits."""
-    digits = np.zeros((N_WINDOWS, len(scalars)), dtype=np.int32)
-    for j, s in enumerate(scalars):
-        s = int(s)
-        for w in range(N_WINDOWS):
-            digits[w, j] = (s >> (WINDOW_BITS * w)) & (N_BUCKETS - 1)
+    """(n_windows, N) int32 digit matrix; infinity points get all-zero digits.
+
+    With 8-bit windows each digit is one byte of the little-endian scalar,
+    so the decomposition is one serialization pass + a numpy transpose.
+    """
+    assert WINDOW_BITS == 8 and N_WINDOWS == 32
+    buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(scalars), N_WINDOWS)
+    digits = np.ascontiguousarray(arr.T).astype(np.int32)
     if inf_mask is not None:
         digits[:, inf_mask] = 0
     return digits

@@ -43,7 +43,6 @@ from .msm import (
     g1_points_to_device,
     g2_points_to_device,
     scalar_digits,
-    _jac_to_affine_host,
 )
 
 # ---------------------------------------------------------------------------
@@ -186,7 +185,7 @@ class _G1:
 
     @staticmethod
     def batch_inv(d):
-        return L.mont_batch_inv_logdepth(d, L.FQ)
+        return L.mont_batch_inv_nested(d, L.FQ)
 
     mul = staticmethod(lambda a, b: L.mont_mul(a, b, L.FQ))
     add = staticmethod(lambda a, b: L.add(a, b, L.FQ))
@@ -236,7 +235,7 @@ class _G2:
         norm = L.add(
             L.mont_mul(c0, c0, L.FQ), L.mont_mul(c1, c1, L.FQ), L.FQ
         )
-        ninv = L.mont_batch_inv_logdepth(norm, L.FQ)
+        ninv = L.mont_batch_inv_nested(norm, L.FQ)
         return (L.mont_mul(c0, ninv, L.FQ),
                 L.neg(L.mont_mul(c1, ninv, L.FQ), L.FQ))
 
@@ -245,11 +244,12 @@ def _ops(curve):
     return _G1 if curve == "g1" else _G2
 
 
-@functools.partial(
-    jax.jit, static_argnames=("curve",), donate_argnums=(0, 1, 2)
-)
-def _k_round(Vx, Vy, Vinf, idx_a, idx_b, out_start, curve):
-    """One pair-reduction round: affine add gathered slot pairs, write out."""
+def _round_math(Vx, Vy, Vinf, idx_a, idx_b, out_start, curve):
+    """One pair-reduction round: affine add gathered slot pairs, write out.
+
+    Plain traceable function -- all rounds of an MSM run inside one jit
+    (_run_msm) so the remote-dispatch latency is paid once per MSM, not
+    once per round."""
     F = _ops(curve)
     ax, ay = F.gather(Vx, idx_a), F.gather(Vy, idx_a)
     bx, by = F.gather(Vx, idx_b), F.gather(Vy, idx_b)
@@ -290,57 +290,129 @@ def _k_round(Vx, Vy, Vinf, idx_a, idx_b, out_start, curve):
     return Vx, Vy, Vinf
 
 
-@functools.partial(jax.jit, static_argnames=("curve",))
-def _k_bits_horner(Tx, Ty, Tinf, curve):
-    """T: (16, 8, W) bit-subset sums -> (W,)-batched window sums (Jacobian)
-    via Horner over the 8 digit bits."""
-    from .curve_ops import FqOps, Fq2Ops, point_add, point_double
+class _JacField:
+    """Host bigint Jacobian arithmetic, generic over Fq / Fq2.
 
-    PF = FqOps if curve == "g1" else Fq2Ops
+    The MSM tail -- 15 bit-Horner point ops per window plus the 248-doubling
+    window combine -- is pure sequential latency on the vector unit
+    (measured 380 ms as device kernels). As host bigint Jacobian math it is
+    a few ms and needs ONE field inversion at the very end."""
 
-    def to_jac(x, y, inf):
-        one = PF.one_mont(jax.tree_util.tree_leaves(x)[0].shape[1:])
-        zeros = PF.zeros_like(one)
-        z = PF.select(inf, zeros, one)
-        return (x, y, z)
+    def __init__(self, fq2: bool):
+        from ..fields.bn254 import P
+        from ..fields import tower as tw
 
-    def tslice(i):
-        x = jax.tree_util.tree_map(lambda a: a[:, i], Tx)
-        y = jax.tree_util.tree_map(lambda a: a[:, i], Ty)
-        return to_jac(x, y, Tinf[i])
+        if fq2:
+            self.mul = tw.fq2_mul
+            self.add = tw.fq2_add
+            self.sub = tw.fq2_sub
+            self.sqr = tw.fq2_sqr
+            self.inv = tw.fq2_inv
+            self.zero = (0, 0)
+        else:
+            self.mul = lambda a, b: a * b % P
+            self.add = lambda a, b: (a + b) % P
+            self.sub = lambda a, b: (a - b) % P
+            self.sqr = lambda a: a * a % P
+            self.inv = lambda a: pow(a, P - 2, P)
+            self.zero = 0
 
-    acc = tslice(WINDOW_BITS - 1)
-    for t in range(WINDOW_BITS - 2, -1, -1):
-        acc = point_double(PF, acc)
-        acc = point_add(PF, acc, tslice(t))
-    return acc
+    def dbl(self, pt):
+        x, y, z = pt
+        if z == self.zero:
+            return pt
+        A = self.sqr(x)
+        B = self.sqr(y)
+        C = self.sqr(B)
+        D = self.sub(self.sqr(self.add(x, B)), self.add(A, C))
+        D = self.add(D, D)
+        E = self.add(self.add(A, A), A)
+        F = self.sqr(E)
+        x3 = self.sub(F, self.add(D, D))
+        c8 = self.add(self.add(C, C), self.add(C, C))
+        c8 = self.add(c8, c8)
+        y3 = self.sub(self.mul(E, self.sub(D, x3)), c8)
+        z3 = self.mul(self.add(y, y), z)
+        return (x3, y3, z3)
+
+    def addp(self, p1, p2):
+        x1, y1, z1 = p1
+        x2, y2, z2 = p2
+        if z1 == self.zero:
+            return p2
+        if z2 == self.zero:
+            return p1
+        z1z1 = self.sqr(z1)
+        z2z2 = self.sqr(z2)
+        u1 = self.mul(x1, z2z2)
+        u2 = self.mul(x2, z1z1)
+        s1 = self.mul(self.mul(y1, z2), z2z2)
+        s2 = self.mul(self.mul(y2, z1), z1z1)
+        if u1 == u2:
+            if s1 == s2:
+                return self.dbl(p1)
+            return (self.zero, self.zero, self.zero)  # P + (-P)
+        h = self.sub(u2, u1)
+        i = self.sqr(self.add(h, h))
+        j = self.mul(h, i)
+        r = self.sub(s2, s1)
+        r = self.add(r, r)
+        v = self.mul(u1, i)
+        x3 = self.sub(self.sub(self.sqr(r), j), self.add(v, v))
+        s1j = self.mul(s1, j)
+        y3 = self.sub(self.mul(r, self.sub(v, x3)), self.add(s1j, s1j))
+        z3 = self.mul(self.sub(self.sub(self.sqr(self.add(z1, z2)), z1z1),
+                               z2z2), h)
+        return (x3, y3, z3)
+
+    def to_affine(self, pt):
+        x, y, z = pt
+        if z == self.zero:
+            return None
+        zi = self.inv(z)
+        zi2 = self.sqr(zi)
+        return (self.mul(x, zi2), self.mul(self.mul(y, zi2), zi))
 
 
-@functools.partial(jax.jit, static_argnames=("curve",))
-def _combine_windows(window_sums, curve):
-    """Window Horner as one scanned kernel (a host loop here would pay
-    ~31 remote-dispatch round trips for single-point work)."""
-    from .curve_ops import FqOps, Fq2Ops, point_add, point_double
+def _finish_host(gx, gy, ginf, curve):
+    """Host tail: bit-Horner each window's 8 bit-subset sums, then the
+    window Horner, all in Jacobian bigints; one inversion at the end."""
+    fq2 = curve == "g2"
+    F = _JacField(fq2)
 
-    PF = FqOps if curve == "g1" else Fq2Ops
+    def decode(leaf):
+        return L.decode_mont(np.asarray(leaf), L.FQ)
 
-    def wnd(i):
-        return tuple(
-            jax.tree_util.tree_map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1),
-                window_sums,
-            )
-        )
-
-    def step(acc, w):
+    inf = np.asarray(ginf).reshape(-1)
+    one = (1, 0) if fq2 else 1
+    if not fq2:
+        xs, ys = decode(gx), decode(gy)
+        pts = [
+            (x, y, one) if not i else (F.zero, F.zero, F.zero)
+            for x, y, i in zip(xs, ys, inf)
+        ]
+    else:
+        x0, x1 = decode(gx[0]), decode(gx[1])
+        y0, y1 = decode(gy[0]), decode(gy[1])
+        pts = [
+            ((x0[k], x1[k]), (y0[k], y1[k]), one)
+            if not inf[k] else (F.zero, F.zero, F.zero)
+            for k in range(len(x0))
+        ]
+    # pts laid out as (WINDOW_BITS, N_WINDOWS)
+    windows = []
+    for w in range(N_WINDOWS):
+        acc = pts[(WINDOW_BITS - 1) * N_WINDOWS + w]
+        for t in range(WINDOW_BITS - 2, -1, -1):
+            acc = F.dbl(acc)
+            acc = F.addp(acc, pts[t * N_WINDOWS + w])
+        windows.append(acc)
+    acc = windows[-1]
+    for w in range(N_WINDOWS - 2, -1, -1):
         for _ in range(WINDOW_BITS):
-            acc = point_double(PF, acc)
-        return point_add(PF, acc, wnd(w)), None
-
-    res, _ = jax.lax.scan(
-        step, wnd(N_WINDOWS - 1), jnp.arange(N_WINDOWS - 2, -1, -1)
-    )
-    return res
+            acc = F.dbl(acc)
+        acc = F.addp(acc, windows[w])
+    return F.to_affine(acc)
 
 
 # ---------------------------------------------------------------------------
@@ -354,8 +426,49 @@ def _pad_round(arr, size):
 
 
 def _round_size(m: int) -> int:
-    """Quantize round sizes so kernel shapes repeat across MSM calls."""
-    return max(64, 1 << (m - 1).bit_length())
+    """Quantize round sizes so kernel shapes repeat across MSM calls.
+
+    Minimum 1024 on TPU: that keeps every round's batch inversion on the
+    fused Pallas path (whose Fermat base case works on one (16, 8, 128)
+    block) -- the padding lanes are inf+inf no-ops. On CPU (tests) the
+    padding would only inflate XLA work."""
+    floor = 1024 if jax.default_backend() != "cpu" else 64
+    return max(floor, 1 << (m - 1).bit_length())
+
+
+_NOOP_PAD = 64  # scratch lanes at the pool tail for round-count padding
+
+
+@functools.partial(
+    jax.jit, static_argnames=("curve", "sizes", "total_alloc")
+)
+def _run_msm(X, Y, all_idx, starts, finals_idx, curve, sizes, total_alloc):
+    """The full MSM device program: pool construction, every pair-reduction
+    round, and the bit-subset Horner fold in ONE jit -- a prove pays one
+    dispatch and one index-array upload per MSM instead of one per round
+    (the axon relay's dispatch/transfer latency is milliseconds).
+
+    all_idx: every round's padded idx_a|idx_b concatenated; `sizes` gives
+    the static per-round widths for slicing."""
+
+    def alloc(leaf):
+        buf = jnp.zeros((L.NLIMBS, total_alloc), jnp.uint32)
+        return jax.lax.dynamic_update_slice_in_dim(buf, leaf, 1, axis=1)
+
+    Vx = jax.tree_util.tree_map(alloc, X)
+    Vy = jax.tree_util.tree_map(alloc, Y)
+    Vinf = jnp.zeros(total_alloc, bool).at[0].set(True)
+
+    off = 0
+    for r, size in enumerate(sizes):
+        ia = jax.lax.slice_in_dim(all_idx, off, off + size)
+        ib = jax.lax.slice_in_dim(all_idx, off + size, off + 2 * size)
+        off += 2 * size
+        Vx, Vy, Vinf = _round_math(Vx, Vy, Vinf, ia, ib, starts[r], curve)
+    gx = jax.tree_util.tree_map(lambda a: a[:, finals_idx], Vx)
+    gy = jax.tree_util.tree_map(lambda a: a[:, finals_idx], Vy)
+    ginf = Vinf[finals_idx]
+    return gx, gy, ginf  # (WINDOW_BITS * N_WINDOWS,) bit-subset sums
 
 
 def _msm_fast(coords, digits_np, curve: str):
@@ -380,66 +493,79 @@ def _msm_fast(coords, digits_np, curve: str):
     # allocate the slot pool: slot 0 = infinity. Padded round lanes write
     # garbage past out_start + m; the pool must cover the padded extent so
     # dynamic_update_slice never clamps (a clamp would corrupt live slots).
-    n = sched.n_points
+    # Pool width and round count are quantized (pow2 / multiple-of-4 with
+    # no-op rounds aimed at a scratch tail) so the _run_msm program shape
+    # repeats across proves and the compile cache hits.
     X, Y = coords
     total_alloc = total
     for rnd in rounds:
         total_alloc = max(
             total_alloc, rnd.out_start + _round_size(len(rnd.idx_a))
         )
+    total_alloc = 1 << (total_alloc + _NOOP_PAD - 1).bit_length()
+    scratch_start = total_alloc - _NOOP_PAD
 
-    def alloc(leaf):
-        buf = jnp.zeros((L.NLIMBS, total_alloc), jnp.uint32)
-        return jax.lax.dynamic_update_slice_in_dim(buf, leaf, 1, axis=1)
-
-    Vx = jax.tree_util.tree_map(alloc, X)
-    Vy = jax.tree_util.tree_map(alloc, Y)
-    inf0 = np.zeros(total_alloc, dtype=bool)
-    inf0[0] = True
-    # input infinities (points at slot i+1 with digits zeroed) never appear in
-    # the schedule, so their pool flags don't matter
-    Vinf = jnp.asarray(inf0)
-
+    # one flat upload of every round's indices (input-infinity points never
+    # appear in the schedule, so their pool flags don't matter)
+    chunks, sizes, starts = [], [], []
     for rnd in rounds:
-        m = len(rnd.idx_a)
-        size = _round_size(m)
-        ia = jnp.asarray(_pad_round(rnd.idx_a, size))
-        ib = jnp.asarray(_pad_round(rnd.idx_b, size))
-        # padded lanes compute inf+inf -> inf and write slots beyond out_start
-        # + m; those slots are only ever read if they belong to the schedule,
-        # which they don't (slot ids grow monotonically), except the padding
-        # writes stay within the pool bounds via total-slot padding below.
-        Vx, Vy, Vinf = _k_round(
-            Vx, Vy, Vinf, ia, ib, jnp.int32(rnd.out_start), curve
-        )
+        size = _round_size(len(rnd.idx_a))
+        chunks.append(_pad_round(rnd.idx_a, size))
+        chunks.append(_pad_round(rnd.idx_b, size))
+        sizes.append(size)
+        starts.append(rnd.out_start)
+    # no-op rounds (inf+inf -> scratch tail) pad the round count to a
+    # multiple of 4; tiny MSMs can have ZERO real rounds (every bucket a
+    # singleton), in which case this also guarantees a non-empty index list
+    while not sizes or len(sizes) % 4 != 0:
+        chunks.append(np.zeros(2 * _NOOP_PAD, np.int32))
+        sizes.append(_NOOP_PAD)
+        starts.append(scratch_start)
+    all_idx = jnp.asarray(np.concatenate(chunks).astype(np.int32))
 
-    gx = jax.tree_util.tree_map(lambda a: a[:, finals.reshape(-1)], Vx)
-    gy = jax.tree_util.tree_map(lambda a: a[:, finals.reshape(-1)], Vy)
-    ginf = Vinf[finals.reshape(-1)]
-    Tx = jax.tree_util.tree_map(
-        lambda a: a.reshape(L.NLIMBS, WINDOW_BITS, N_WINDOWS), gx
+    return _run_msm(
+        X,
+        Y,
+        all_idx,
+        jnp.asarray(starts, jnp.int32),
+        jnp.asarray(finals.reshape(-1)),
+        curve,
+        tuple(sizes),
+        total_alloc,
     )
-    Ty = jax.tree_util.tree_map(
-        lambda a: a.reshape(L.NLIMBS, WINDOW_BITS, N_WINDOWS), gy
-    )
-    Tinf = ginf.reshape(WINDOW_BITS, N_WINDOWS)
-    window_sums = _k_bits_horner(Tx, Ty, Tinf, curve)
-    return _combine_windows(window_sums, curve)
+
+
+def prepare_g1(points):
+    """Device-resident G1 point set; reuse across MSMs with the same basis
+    (Groth16 query points are fixed per proving key)."""
+    return g1_points_to_device(points)
+
+
+def prepare_g2(points):
+    return g2_points_to_device(points)
+
+
+def msm_g1_prepared(prepared, scalars):
+    coords, inf = prepared
+    digits = scalar_digits(scalars, inf)
+    gx, gy, ginf = _msm_fast(coords, digits, "g1")
+    return _finish_host(gx, gy, ginf, "g1")
+
+
+def msm_g2_prepared(prepared, scalars):
+    coords, inf = prepared
+    digits = scalar_digits(scalars, inf)
+    gx, gy, ginf = _msm_fast(coords, digits, "g2")
+    return _finish_host(gx, gy, ginf, "g2")
 
 
 def msm_g1(points, scalars):
     if not points:
         return None
-    coords, inf = g1_points_to_device(points)
-    digits = scalar_digits(scalars, inf)
-    jac = _msm_fast(coords, digits, "g1")
-    return _jac_to_affine_host(jac, fq2=False)
+    return msm_g1_prepared(prepare_g1(points), scalars)
 
 
 def msm_g2(points, scalars):
     if not points:
         return None
-    coords, inf = g2_points_to_device(points)
-    digits = scalar_digits(scalars, inf)
-    jac = _msm_fast(coords, digits, "g2")
-    return _jac_to_affine_host(jac, fq2=True)
+    return msm_g2_prepared(prepare_g2(points), scalars)

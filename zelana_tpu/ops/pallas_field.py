@@ -33,39 +33,35 @@ TILE = 2048  # batch elements per grid step
 SUB = TILE // 128  # subbatch rows of 128 lanes
 
 
-def _mont_mul_kernel_body(spec_mod: int):
-    n0inv8 = float((-pow(spec_mod, -1, 256)) % 256)
-    p8_np = np.array(
-        [float((spec_mod >> (8 * i)) & 0xFF) for i in range(N8)], np.float32
-    ).reshape(N8, 1, 1)
-    p16 = [(spec_mod >> (16 * i)) & 0xFFFF for i in range(L.NLIMBS)]
+def _sos_mul_fn(spec_mod: int):
+    """Width-generic register column-SOS Montgomery multiply.
 
-    def kernel(a_ref, b_ref, o_ref):
-        a = a_ref[...]  # (16, SUB, 128) uint32
-        b = b_ref[...]
+    Returns mul(a, b) mapping (16, S, 128) u32 -> (16, S, 128) u32 canonical
+    for any sublane width S. Every output column is accumulated in registers
+    and written once; a windowed read-modify-write state measured VMEM-bound.
+    Column sums stay < 2^23: exact in f32."""
+    n0inv8 = float((-pow(spec_mod, -1, 256)) % 256)
+    p16 = [(spec_mod >> (16 * i)) & 0xFFFF for i in range(L.NLIMBS)]
+    p8f = [float((spec_mod >> (8 * j)) & 0xFF) for j in range(N8)]
+    inv256 = 1.0 / 256.0
+
+    def mul(a, b):
+        sub = a.shape[1]
 
         def split8(x):
-            # (16, SUB, 128) u32 -> (32, SUB, 128) f32 of 8-bit limbs,
+            # (16, S, 128) u32 -> (32, S, 128) f32 of 8-bit limbs,
             # interleaved [lo0, hi0, lo1, hi1, ...] via leading-dim stack
             lo = (x & 0xFF).astype(jnp.int32).astype(jnp.float32)
             hi = (x >> 8).astype(jnp.int32).astype(jnp.float32)
-            return jnp.stack([lo, hi], axis=1).reshape(N8, SUB, 128)
+            return jnp.stack([lo, hi], axis=1).reshape(N8, sub, 128)
 
         a8 = split8(a)
         b8 = split8(b)
 
-        inv256 = jnp.float32(1.0 / 256.0)
-        p8f = [float((spec_mod >> (8 * j)) & 0xFF) for j in range(N8)]
-
-        # ---- column-wise SOS Montgomery ----
-        # Each output value is accumulated in registers and written once;
-        # no windowed read-modify-write over a 66-row state (that pattern
-        # measured VMEM-bound). Column sums stay < 2^23: exact in f32.
-
         # low product columns c_0..c_31 (only needed for the m-chain)
         low = []
         for k in range(N8):
-            acc = a8[0] * b8[k] if k < N8 else None
+            acc = a8[0] * b8[k]
             for i in range(1, k + 1):
                 acc = acc + a8[i] * b8[k - i]
             low.append(acc)
@@ -73,7 +69,7 @@ def _mont_mul_kernel_body(spec_mod: int):
         # m-chain: m_i = (c_i + sum_{j<i} m_j p_{i-j}) * n0inv8 mod 256,
         # with the running carry of the zeroed-out low columns folded in
         m = []
-        carry = jnp.zeros((SUB, 128), jnp.float32)
+        carry = jnp.zeros((sub, 128), jnp.float32)
         for i in range(N8):
             t = low[i] + carry
             for j in range(i):
@@ -110,7 +106,7 @@ def _mont_mul_kernel_body(spec_mod: int):
             limbs.append(lo + (hi << 8))
 
         # conditional subtract p (borrow chain, integer ops)
-        borrow = jnp.zeros((SUB, 128), jnp.int32)
+        borrow = jnp.zeros((sub, 128), jnp.int32)
         diff = []
         for i in range(L.NLIMBS):
             v = limbs[i].astype(jnp.int32) - jnp.int32(p16[i]) - borrow
@@ -118,7 +114,16 @@ def _mont_mul_kernel_body(spec_mod: int):
             borrow = (v < 0).astype(jnp.int32)
         ge_p = borrow == 0
         out = [jnp.where(ge_p, diff[i], limbs[i]) for i in range(L.NLIMBS)]
-        o_ref[...] = jnp.stack(out)
+        return jnp.stack(out)
+
+    return mul
+
+
+def _mont_mul_kernel_body(spec_mod: int):
+    mul = _sos_mul_fn(spec_mod)
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[...] = mul(a_ref[...], b_ref[...])
 
     return kernel
 
@@ -142,6 +147,172 @@ def _mont_mul_call(modulus: int, n: int, interpret: bool):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# fused batch inversion: Montgomery's trick with 16-long serial chains along
+# the sublane axis, fwd/bwd each ONE kernel. The alternative -- 48 separate
+# mont_mul dispatches per inversion -- pays ~0.5 ms of per-call overhead each
+# on this device, which made inversion the MSM's dominant cost.
+# ---------------------------------------------------------------------------
+
+INV_T = 16  # chain length: tile = (limbs, 128, 128); chain element i of
+# the 1024 chains in a tile lives at sublane rows [8i, 8i+8) -- every chain
+# step is a full-(8,128)-vreg multiply (a (1,128) step wastes 7/8 sublanes)
+INV_ROWS = INV_T * 8  # sublane rows per tile
+INV_TILE = INV_ROWS * 128  # batch elements per tile
+
+
+def _inv_fwd_kernel_body(spec_mod: int, one_mont, chain: int):
+    mul = _sos_mul_fn(spec_mod)
+    one_vals = tuple(int(v) for v in one_mont)
+
+    def kernel(d_ref, pref_ref, tot_ref):
+        one = jnp.stack(
+            [jnp.full((8, 128), v, jnp.uint32) for v in one_vals]
+        )
+
+        def body(i, acc):
+            pref_ref[:, pl.ds(8 * i, 8), :] = acc  # exclusive prefix
+            return mul(acc, d_ref[:, pl.ds(8 * i, 8), :])
+
+        tot_ref[...] = jax.lax.fori_loop(0, chain, body, one)
+
+    return kernel
+
+
+def _inv_bwd_kernel_body(spec_mod: int, chain: int):
+    mul = _sos_mul_fn(spec_mod)
+
+    def kernel(d_ref, pref_ref, tinv_ref, out_ref):
+        def body(k, suffix):
+            i = chain - 1 - k
+            out_ref[:, pl.ds(8 * i, 8), :] = mul(
+                suffix, pref_ref[:, pl.ds(8 * i, 8), :]
+            )
+            return mul(suffix, d_ref[:, pl.ds(8 * i, 8), :])
+
+        jax.lax.fori_loop(0, chain, body, tinv_ref[...])
+
+    return kernel
+
+
+def _fermat_kernel_body(spec_mod: int):
+    """a^(p-2) for one (16, 8, 128) block: in-kernel square-and-multiply.
+
+    This is the recursion BASE of the fused batch inversion. The XLA
+    alternative (mont_pow scan over 254 bits of tiny muls) is pure
+    sequential dispatch latency (~20 ms) and was the hidden floor under
+    every MSM round's inversion."""
+    mul = _sos_mul_fn(spec_mod)
+    bits = bin(spec_mod - 2)[2:]
+    nbits = len(bits)
+
+    def kernel(bits_ref, a_ref, o_ref):
+        a = a_ref[...]
+
+        def body(i, acc):
+            acc = mul(acc, acc)
+            withm = mul(acc, a)
+            return jnp.where(bits_ref[0, i] == 1, withm, acc)
+
+        o_ref[...] = jax.lax.fori_loop(1, nbits, body, a)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _fermat_call(modulus: int, interpret: bool):
+    kernel = _fermat_kernel_body(modulus)
+    bits = bin(modulus - 2)[2:]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L.NLIMBS, 8, 128), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    ), np.array([[int(b) for b in bits]], dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_fwd_call(modulus: int, n: int, interpret: bool):
+    spec = L.FieldSpec(modulus)
+    rows = min(INV_ROWS, n // 128)
+    chain = rows // 8
+    kernel = _inv_fwd_kernel_body(modulus, spec.one_mont, chain)
+    tiles = n // (rows * 128)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((L.NLIMBS, n // 128, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((L.NLIMBS, tiles * 8, 128), jnp.uint32),
+        ),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((L.NLIMBS, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((L.NLIMBS, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L.NLIMBS, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_bwd_call(modulus: int, n: int, interpret: bool):
+    rows = min(INV_ROWS, n // 128)
+    chain = rows // 8
+    kernel = _inv_bwd_kernel_body(modulus, chain)
+    tiles = n // (rows * 128)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L.NLIMBS, n // 128, 128), jnp.uint32),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((L.NLIMBS, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L.NLIMBS, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L.NLIMBS, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L.NLIMBS, rows, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def batch_inv_pallas(a, spec: L.FieldSpec):
+    """Batch inversion of (16, N) nonzero Montgomery values; N % 1024 == 0.
+
+    Chain kernels (fwd: prefixes + totals, bwd: combine) recurse on the
+    16x-smaller totals down to a single (16, 8, 128) block, which a Fermat
+    kernel inverts in-kernel. Zero handling is the caller's job
+    (limbs.mont_batch_inv_nested wraps this with the zero mask)."""
+    n = a.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    if n == 1024:
+        call, bits = _fermat_call(spec.modulus, interpret)
+        return call(jnp.asarray(bits), a.reshape(L.NLIMBS, 8, 128)).reshape(
+            L.NLIMBS, n
+        )
+    rows = min(INV_ROWS, n // 128)
+    tiles = n // (rows * 128)
+    a3 = a.reshape(L.NLIMBS, n // 128, 128)
+    prefix, totals8 = _inv_fwd_call(spec.modulus, n, interpret)(a3)
+    tot = totals8.reshape(L.NLIMBS, tiles * 8 * 128)
+    tot_inv = batch_inv_pallas(tot, spec)
+    tinv8 = tot_inv.reshape(L.NLIMBS, tiles * 8, 128)
+    out = _inv_bwd_call(spec.modulus, n, interpret)(a3, prefix, tinv8)
+    return out.reshape(L.NLIMBS, n)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
