@@ -101,11 +101,17 @@ def to_limbs(values, spec: FieldSpec | None = None) -> np.ndarray:
 
 
 def from_limbs(arr) -> list:
+    """uint32 (NLIMBS, N) -> list of python ints.
+
+    Vectorized through a byte buffer (mirror of to_limbs): one numpy
+    transpose + per-value int.from_bytes, instead of NLIMBS * N python-int
+    shift-adds."""
     arr = np.asarray(arr)
-    flat = arr.reshape(NLIMBS, -1)
+    flat = arr.reshape(NLIMBS, -1).T.astype("<u2")
+    buf = flat.tobytes()
     return [
-        sum(int(flat[i, j]) << (LIMB_BITS * i) for i in range(NLIMBS))
-        for j in range(flat.shape[1])
+        int.from_bytes(buf[32 * j: 32 * (j + 1)], "little")
+        for j in range(flat.shape[0])
     ]
 
 

@@ -1,0 +1,291 @@
+"""Fused Pallas kernels for the MSM's batched point addition.
+
+One pair-reduction round of the fast MSM (ops/msm_fast.py) is a batched
+point addition of gathered slot pairs. The round math uses the COMPLETE
+projective addition formulas for short-Weierstrass curves with a = 0
+(Renes-Costello-Batina 2015, Algorithm 7): 12 field muls + 2 muls by the
+constant 3b, with NO case analysis -- identity (0:1:0), doubling, and
+P + (-P) all flow through the same straight-line code. That shape is ideal
+for the TPU: the batched-affine alternative needs a shared batch inversion
+whose Fermat base case is ~500 *sequential* tiny multiplies per round
+(measured ~9 ms/round on the bench chip -- it dominated the whole MSM),
+while the complete-add round is one branch-free kernel with all multiplies
+at full batch width.
+
+The same algorithm runs in two forms:
+  - `proj_add_xla`: plain traceable JAX over ops/limbs.py (CPU/tests);
+  - `step_call`: ONE fused kernel per MSM tape step on TPU -- complete add
+    plus an in-place pool write via input_output_aliases, all limb math in
+    VMEM/registers (ops from pallas_field._sos_mul_fn).
+
+Reference counterpart: the bucket accumulation inside ark-groth16's
+Pippenger MSM (SURVEY.md section 2.1, "Groth16 prove engine").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import limbs as L
+from .pallas_field import _sos_mul_fn
+
+MASK16 = 0xFFFF
+
+
+# ---------------------------------------------------------------------------
+# the complete-add straight line, generic over a field-op vtable
+# ---------------------------------------------------------------------------
+
+
+def complete_add(F, P, Q):
+    """Renes-Costello Algorithm 7 (a = 0). P, Q: (X, Y, Z) projective.
+
+    F provides mul/add/sub/mul_b3 over the coordinate field. Works verbatim
+    for G1 (Fq) and G2 (Fq2 with the twist's b' = 3/(9+u))."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    t3 = F.add(X1, Y1)
+    t4 = F.add(X2, Y2)
+    t3 = F.mul(t3, t4)
+    t4 = F.add(t0, t1)
+    t3 = F.sub(t3, t4)
+    t4 = F.add(Y1, Z1)
+    X3 = F.add(Y2, Z2)
+    t4 = F.mul(t4, X3)
+    X3 = F.add(t1, t2)
+    t4 = F.sub(t4, X3)
+    X3 = F.add(X1, Z1)
+    Y3 = F.add(X2, Z2)
+    X3 = F.mul(X3, Y3)
+    Y3 = F.add(t0, t2)
+    Y3 = F.sub(X3, Y3)
+    X3 = F.add(t0, t0)
+    t0 = F.add(X3, t0)
+    t2 = F.mul_b3(t2)
+    Z3 = F.add(t1, t2)
+    t1 = F.sub(t1, t2)
+    Y3 = F.mul_b3(Y3)
+    X3 = F.mul(t4, Y3)
+    t2 = F.mul(t3, t1)
+    X3 = F.sub(t2, X3)
+    Y3 = F.mul(Y3, t0)
+    t1 = F.mul(t1, Z3)
+    Y3 = F.add(t1, Y3)
+    t0 = F.mul(t0, t3)
+    Z3 = F.mul(Z3, t4)
+    Z3 = F.add(Z3, t0)
+    return X3, Y3, Z3
+
+
+def _b3_g2() -> tuple:
+    """3 * b' for the G2 twist, b' = 3 / (9 + u), as integer Fq2 coeffs."""
+    from ..fields import tower as tw
+
+    inv = tw.fq2_inv((9, 1))
+    return (9 * inv[0] % L.FQ.modulus, 9 * inv[1] % L.FQ.modulus)
+
+
+# ---------------------------------------------------------------------------
+# XLA vtables (CPU / fallback path; also the semantics reference in tests)
+# ---------------------------------------------------------------------------
+
+
+class XlaFq:
+    mul = staticmethod(lambda a, b: L.mont_mul(a, b, L.FQ))
+    add = staticmethod(lambda a, b: L.add(a, b, L.FQ))
+    sub = staticmethod(lambda a, b: L.sub(a, b, L.FQ))
+
+    @staticmethod
+    def mul_b3(x):
+        # b = 3 for G1: 3b = 9; 9x = 8x + x via three doublings + one add
+        t = L.add(x, x, L.FQ)
+        t = L.add(t, t, L.FQ)
+        t = L.add(t, t, L.FQ)
+        return L.add(t, x, L.FQ)
+
+
+class XlaFq2:
+    @staticmethod
+    def mul(a, b):
+        a0, a1 = a
+        b0, b1 = b
+        t0 = L.mont_mul(a0, b0, L.FQ)
+        t1 = L.mont_mul(a1, b1, L.FQ)
+        s = L.mont_mul(L.add(a0, a1, L.FQ), L.add(b0, b1, L.FQ), L.FQ)
+        return (L.sub(t0, t1, L.FQ), L.sub(L.sub(s, t0, L.FQ), t1, L.FQ))
+
+    add = staticmethod(lambda a, b: (L.add(a[0], b[0], L.FQ),
+                                     L.add(a[1], b[1], L.FQ)))
+    sub = staticmethod(lambda a, b: (L.sub(a[0], b[0], L.FQ),
+                                     L.sub(a[1], b[1], L.FQ)))
+
+    @staticmethod
+    def mul_b3(x):
+        c = _b3_g2()
+        const = (L.broadcast_scalar(L.encode_mont([c[0]], L.FQ)[:, 0],
+                                    x[0].shape[1:]),
+                 L.broadcast_scalar(L.encode_mont([c[1]], L.FQ)[:, 0],
+                                    x[0].shape[1:]))
+        return XlaFq2.mul(x, const)
+
+
+def proj_add_xla(P, Q, curve: str):
+    return complete_add(XlaFq if curve == "g1" else XlaFq2, P, Q)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel limb helpers: (16, S, 128) u32 arrays of canonical 16-bit limbs
+# ---------------------------------------------------------------------------
+
+
+def _add_raw(a, b):
+    """a + b with an unrolled carry chain; result limbs < 2^16."""
+    outs = []
+    carry = jnp.zeros_like(a[0])
+    for i in range(L.NLIMBS):
+        v = a[i] + b[i] + carry
+        outs.append(v & MASK16)
+        carry = v >> 16
+    return jnp.stack(outs), carry
+
+def _sub_raw(a, b):
+    """a - b with an unrolled borrow chain; returns (diff, borrow in {0,1})."""
+    outs = []
+    borrow = jnp.zeros_like(a[0], dtype=jnp.int32)
+    for i in range(L.NLIMBS):
+        v = a[i].astype(jnp.int32) - b[i].astype(jnp.int32) - borrow
+        outs.append((v & MASK16).astype(jnp.uint32))
+        borrow = (v < 0).astype(jnp.int32)
+    return jnp.stack(outs), borrow
+
+
+class _KernelFq:
+    """Field vtable for the kernel body (register/VMEM-resident limb math)."""
+
+    def __init__(self, spec_mod: int):
+        self._mul = _sos_mul_fn(spec_mod)
+        self.p16 = [(spec_mod >> (16 * i)) & MASK16 for i in range(L.NLIMBS)]
+
+    def _p_like(self, a):
+        return jnp.stack(
+            [jnp.full(a.shape[1:], c, jnp.uint32) for c in self.p16]
+        )
+
+    def mul(self, a, b):
+        return self._mul(a, b)
+
+    def add(self, a, b):
+        s, _ = _add_raw(a, b)  # a + b < 2p < 2^256: no carry out
+        d, bor = _sub_raw(s, self._p_like(a))
+        return jnp.where(bor == 0, d, s)
+
+    def sub(self, a, b):
+        d, bor = _sub_raw(a, b)
+        corr, _ = _add_raw(d, self._p_like(a))
+        return jnp.where(bor == 1, corr, d)
+
+    def mul_b3(self, x):
+        t = self.add(x, x)
+        t = self.add(t, t)
+        t = self.add(t, t)
+        return self.add(t, x)
+
+
+class _KernelFq2:
+    def __init__(self, spec_mod: int):
+        self.f = _KernelFq(spec_mod)
+        c = _b3_g2()
+        self.b3_0 = tuple(int(v) for v in L.encode_mont([c[0]], L.FQ)[:, 0])
+        self.b3_1 = tuple(int(v) for v in L.encode_mont([c[1]], L.FQ)[:, 0])
+
+    def mul(self, a, b):
+        f = self.f
+        t0 = f.mul(a[0], b[0])
+        t1 = f.mul(a[1], b[1])
+        s = f.mul(f.add(a[0], a[1]), f.add(b[0], b[1]))
+        return (f.sub(t0, t1), f.sub(f.sub(s, t0), t1))
+
+    def add(self, a, b):
+        return (self.f.add(a[0], b[0]), self.f.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.f.sub(a[0], b[0]), self.f.sub(a[1], b[1]))
+
+    def mul_b3(self, x):
+        shape = x[0].shape[1:]
+        const = (
+            jnp.stack([jnp.full(shape, v, jnp.uint32) for v in self.b3_0]),
+            jnp.stack([jnp.full(shape, v, jnp.uint32) for v in self.b3_1]),
+        )
+        return self.mul(x, const)
+
+
+# ---------------------------------------------------------------------------
+# the fused MSM step kernel: complete add + IN-PLACE pool write
+# ---------------------------------------------------------------------------
+#
+# One MSM tape step (msm_fast._run_tape) is: gather operand pairs (XLA),
+# complete-add them, write the S results into the slot pool at a
+# data-dependent (but host-known) offset. The write goes through
+# input_output_aliases so the pool is updated in place -- an XLA
+# dynamic_update_slice instead materializes a full pool copy every step
+# (measured ~2.3 ms/step of pure copy at a 2^20-slot pool). The dynamic
+# output position rides a scalar-prefetch argument feeding the out
+# BlockSpec's index_map.
+
+ROWS = 8  # block sublane rows; S and the write offset align to ROWS * 128
+
+
+@functools.lru_cache(maxsize=None)
+def step_call(modulus: int, curve: str, S: int, total_alloc: int,
+              interpret: bool):
+    C = 48 if curve == "g1" else 96
+    F = _KernelFq(modulus) if curve == "g1" else _KernelFq2(modulus)
+
+    def kernel(st_ref, a_ref, b_ref, pool_ref, out_ref):
+        del st_ref, pool_ref  # st feeds the index_map; pool is the alias
+        a, b = a_ref[...], b_ref[...]
+        if curve == "g1":
+            P = (a[0:16], a[16:32], a[32:48])
+            Q = (b[0:16], b[16:32], b[32:48])
+            X3, Y3, Z3 = complete_add(F, P, Q)
+            out_ref[...] = jnp.concatenate([X3, Y3, Z3], axis=0)
+        else:
+            P = ((a[0:16], a[16:32]), (a[32:48], a[48:64]),
+                 (a[64:80], a[80:96]))
+            Q = ((b[0:16], b[16:32]), (b[32:48], b[48:64]),
+                 (b[64:80], b[80:96]))
+            X3, Y3, Z3 = complete_add(F, P, Q)
+            out_ref[...] = jnp.concatenate(
+                [X3[0], X3[1], Y3[0], Y3[1], Z3[0], Z3[1]], axis=0
+            )
+
+    coord_spec = pl.BlockSpec((C, ROWS, 128), lambda i, st: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    pool_spec = pl.BlockSpec(
+        (C, ROWS, 128),
+        lambda i, st: (0, st[0] // (ROWS * 128) + i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S // (ROWS * 128),),
+        in_specs=[coord_spec, coord_spec, pool_spec],
+        out_specs=pool_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, total_alloc // 128, 128),
+                                       jnp.uint32),
+        input_output_aliases={3: 0},  # pool arg (after the scalar) -> out
+        interpret=interpret,
+    )

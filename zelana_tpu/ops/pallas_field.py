@@ -289,8 +289,8 @@ def _inv_bwd_call(modulus: int, n: int, interpret: bool):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def batch_inv_pallas(a, spec: L.FieldSpec):
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def batch_inv_pallas(a, spec: L.FieldSpec, interpret: bool | None = None):
     """Batch inversion of (16, N) nonzero Montgomery values; N % 1024 == 0.
 
     Chain kernels (fwd: prefixes + totals, bwd: combine) recurse on the
@@ -298,7 +298,8 @@ def batch_inv_pallas(a, spec: L.FieldSpec):
     kernel inverts in-kernel. Zero handling is the caller's job
     (limbs.mont_batch_inv_nested wraps this with the zero mask)."""
     n = a.shape[1]
-    interpret = jax.default_backend() == "cpu"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if n == 1024:
         call, bits = _fermat_call(spec.modulus, interpret)
         return call(jnp.asarray(bits), a.reshape(L.NLIMBS, 8, 128)).reshape(
@@ -309,7 +310,7 @@ def batch_inv_pallas(a, spec: L.FieldSpec):
     a3 = a.reshape(L.NLIMBS, n // 128, 128)
     prefix, totals8 = _inv_fwd_call(spec.modulus, n, interpret)(a3)
     tot = totals8.reshape(L.NLIMBS, tiles * 8 * 128)
-    tot_inv = batch_inv_pallas(tot, spec)
+    tot_inv = batch_inv_pallas(tot, spec, interpret)
     tinv8 = tot_inv.reshape(L.NLIMBS, tiles * 8, 128)
     out = _inv_bwd_call(spec.modulus, n, interpret)(a3, prefix, tinv8)
     return out.reshape(L.NLIMBS, n)
