@@ -96,8 +96,12 @@ def main():
     for _ in range(msm_n):
         pts.append(acc)
         acc = G1.add(acc, g)
-    scalars = [int(x) for x in rng.integers(0, 1 << 63, size=(msm_n,))]
-    scalars = [(s * 2862933555777941757 + 3037000493) % R for s in scalars]
+    # uniform full-width scalars (mod R): a narrow distribution would leave
+    # high windows empty and flatter the MSM by ~2x
+    import random as _random
+
+    _r = _random.Random(12345)
+    scalars = [_r.randrange(R) for _ in range(msm_n)]
 
     # prepared basis = the prover's steady state (Groth16 query points are
     # fixed per key; only scalars change per proof)

@@ -80,6 +80,9 @@ class Tape:
     total_slots: int  # pool width (power of two)
     finals: np.ndarray  # (WINDOW_BITS * N_WINDOWS,) int32 bit-subset slots
     n_points: int
+    mixed_steps: int  # tape prefix whose operand pairs are ALL original
+    # input points (Z = 1): bucket round 0. Those steps run the cheaper
+    # mixed-add kernel and skip gathering the Z rows.
 
 
 def _step_size(n_points: int) -> int:
@@ -95,10 +98,24 @@ def _step_size(n_points: int) -> int:
 
 def build_tape(digits: np.ndarray) -> Tape:
     """digits: (W, N) int32. Input point i lives at slot i + 1; slot 0 is
-    the canonical identity. Returns the uniform-step addition tape."""
+    the canonical identity. Returns the uniform-step addition tape.
+
+    Dispatches to the native C++ builder (csrc/msm_tape.cpp, ~10x) and
+    falls back to the numpy implementation below; the two may pair
+    equal-key items differently, which is algebraically irrelevant."""
     w, n = digits.shape
     S = _step_size(n)
     a0 = _round_up(n + 1, ALIGN)
+
+    from . import tape_native
+
+    native = tape_native.build_tape_arrays(digits, N_BUCKETS, WINDOW_BITS,
+                                           S, a0)
+    if native is not None:
+        idx, finals, steps, mixed, base = native
+        total = 1 << (base - 1).bit_length()
+        return Tape(idx=idx, S=S, a0=a0, total_slots=total, finals=finals,
+                    n_points=n, mixed_steps=mixed)
 
     win = np.repeat(np.arange(w, dtype=np.int64), n)
     slot = np.tile(np.arange(1, n + 1, dtype=np.int64), w)
@@ -106,7 +123,8 @@ def build_tape(digits: np.ndarray) -> Tape:
     keep = dig != 0
     keys = win[keep] * N_BUCKETS + dig[keep]
     items = slot[keep]
-    order = np.argsort(keys.astype(np.uint32), kind="stable")
+    # max key = W * 256 + 255 < 2^16: 16-bit keys take numpy's radix path
+    order = np.argsort(keys.astype(np.uint16), kind="stable")
     keys, items = keys[order], items[order]
 
     chunks_a: list = []
@@ -126,36 +144,54 @@ def build_tape(digits: np.ndarray) -> Tape:
         state["base"] += k * S
         return outs
 
-    def reduce_all(keys: np.ndarray, items: np.ndarray):
-        """Pair-reduce key-sorted (keys, items) until every key is unique.
-        Each iteration emits one round; survivors stay sorted via a merge."""
-        while len(items) > 1:
-            mlen = len(items)
-            same_next = keys[1:] == keys[:-1]
-            if not same_next.any():
-                break
-            run_start = np.ones(mlen, bool)
-            run_start[1:] = ~same_next
-            run_id = np.cumsum(run_start) - 1
-            start_pos = np.flatnonzero(run_start)
-            pos_in_run = np.arange(mlen) - start_pos[run_id]
-            run_len = np.bincount(run_id)
-            is_a = (pos_in_run % 2 == 0) & (pos_in_run + 1 < run_len[run_id])
-            is_b = np.zeros(mlen, bool)
-            is_b[1:] = is_a[:-1]
-            outs = emit_round(items[is_a], items[is_b])
-            ka = keys[is_a]
-            leftover = ~(is_a | is_b)
-            kl, il = keys[leftover], items[leftover]
-            # stable merge of the two key-sorted streams (outs win ties)
-            pos_a = np.arange(len(ka)) + np.searchsorted(kl, ka, side="left")
-            pos_l = np.arange(len(kl)) + np.searchsorted(ka, kl, side="right")
-            keys = np.empty(len(ka) + len(kl), np.int64)
-            items = np.empty_like(keys)
-            keys[pos_a], keys[pos_l] = ka, kl
-            items[pos_a], items[pos_l] = outs, il
-        return keys, items
+    def reduce_iter(keys: np.ndarray, items: np.ndarray):
+        """One pair-reduction pass over key-sorted (keys, items); emits one
+        round; survivors stay key-sorted via a searchsorted merge."""
+        mlen = len(items)
+        if mlen <= 1:
+            return keys, items, False
+        same_next = keys[1:] == keys[:-1]
+        if not same_next.any():
+            return keys, items, False
+        run_start = np.ones(mlen, bool)
+        run_start[1:] = ~same_next
+        run_id = np.cumsum(run_start) - 1
+        start_pos = np.flatnonzero(run_start)
+        pos_in_run = np.arange(mlen) - start_pos[run_id]
+        run_len = np.bincount(run_id)
+        is_a = (pos_in_run % 2 == 0) & (pos_in_run + 1 < run_len[run_id])
+        is_b = np.zeros(mlen, bool)
+        is_b[1:] = is_a[:-1]
+        outs = emit_round(items[is_a], items[is_b])
+        ka = keys[is_a]
+        leftover = ~(is_a | is_b)
+        kl, il = keys[leftover], items[leftover]
+        # stable merge of the two key-sorted streams (outs win ties)
+        pos_a = np.arange(len(ka)) + np.searchsorted(kl, ka, side="left")
+        pos_l = np.arange(len(kl)) + np.searchsorted(ka, kl, side="right")
+        keys = np.empty(len(ka) + len(kl), np.int64)
+        items = np.empty_like(keys)
+        keys[pos_a], keys[pos_l] = ka, kl
+        items[pos_a], items[pos_l] = outs, il
+        return keys, items, True
 
+    def reduce_all(keys: np.ndarray, items: np.ndarray):
+        while True:
+            keys, items, again = reduce_iter(keys, items)
+            if not again:
+                return keys, items
+
+    def pad_steps(align_from: int):
+        while (len(chunks_a) - align_from) % 4 != 0:
+            chunks_a.append(np.zeros(S, np.int32))
+            chunks_b.append(np.zeros(S, np.int32))
+            state["base"] += S
+
+    # bucket round 0 pairs ORIGINAL points only (Z = 1): split it out as
+    # the tape's mixed-kernel prefix, quantized for compile caching
+    keys, items, _ = reduce_iter(keys, items)
+    pad_steps(0)
+    mixed_steps = len(chunks_a)
     keys, items = reduce_all(keys, items)
     bucket_slot = np.zeros((w, N_BUCKETS), np.int64)
     bucket_slot[keys // N_BUCKETS, keys % N_BUCKETS] = items
@@ -176,17 +212,21 @@ def build_tape(digits: np.ndarray) -> Tape:
     finals = np.zeros(WINDOW_BITS * N_WINDOWS, np.int64)
     finals[keys2] = items2
 
-    # quantize the step count (no-op identity steps) so shapes repeat
-    while len(chunks_a) % 8 != 0 or not chunks_a:
-        chunks_a.append(np.zeros(S, np.int32))
-        chunks_b.append(np.zeros(S, np.int32))
-        state["base"] += S
+    # quantize the general step count (no-op identity steps) so shapes
+    # repeat across proves; guarantee at least one general step
+    pad_steps(mixed_steps)
+    if len(chunks_a) == mixed_steps:
+        for _ in range(4):
+            chunks_a.append(np.zeros(S, np.int32))
+            chunks_b.append(np.zeros(S, np.int32))
+            state["base"] += S
     idx = np.stack(
         [np.stack(chunks_a), np.stack(chunks_b)], axis=1
     )  # (steps, 2, S)
     total = 1 << (state["base"] - 1).bit_length()
     return Tape(idx=idx, S=S, a0=a0, total_slots=total,
-                finals=finals.astype(np.int32), n_points=n)
+                finals=finals.astype(np.int32), n_points=n,
+                mixed_steps=mixed_steps)
 
 
 # ---------------------------------------------------------------------------
@@ -208,22 +248,97 @@ def _split_coords(a, curve: str):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("curve", "S", "a0", "total_alloc"),
+    static_argnames=("curve", "S", "a0", "total_alloc", "mixed_steps"),
 )
-def _run_tape(X, Y, idx_tape, finals_idx, curve, S, a0, total_alloc):
-    """Execute the whole MSM tape in one jitted scan.
+def _run_tape(X, Y, idx_tape, finals_idx, curve, S, a0, total_alloc,
+              mixed_steps):
+    """Execute the whole MSM tape as two jitted scans (mixed prefix, then
+    general steps).
 
-    Pool layout: one (C, total_alloc) uint32 array, C = 3*16 coordinate limb
-    rows (G1) or 6*16 (G2), rows grouped X | Y | Z (components interleaved
-    x0 x1 y0 y1 z0 z1 for G2). Slot 0 is the identity (0 : 1 : 0); input
-    point i sits at slot i + 1; step t writes slots a0 + [t*S, (t+1)*S).
-    On TPU each step's add + pool write is ONE fused Pallas kernel writing
-    in place (input_output_aliases); on CPU the same complete-add math runs
-    as XLA ops with a dynamic_update_slice."""
-    from .pallas_curve import proj_add_xla, step_call
+    Pool layout (TPU): one (C, total_alloc/128, 128) uint32 array with
+    PACKED 16-bit limb pairs -- 8 rows per field element, C = 24 (G1) or
+    48 (G2), rows grouped X | Y | Z (x0 x1 y0 y1 z0 z1 for G2). Slot 0 is
+    the identity (0 : 1 : 0); input point i sits at slot i + 1; step t
+    writes slots a0 + [t*S, (t+1)*S). Each step's add + pool write is ONE
+    fused Pallas kernel writing in place (input_output_aliases); the tape
+    prefix uses the 9-mul mixed kernel and skips gathering Z rows.
+
+    On CPU the same complete-add math runs as XLA ops over an UNPACKED
+    (3*16 | 6*16, total_alloc) pool with dynamic_update_slice writes."""
+    from .pallas_curve import (
+        complete_add_mixed,
+        proj_add_xla,
+        step_call,
+        pack_rows_py,
+        XlaFq,
+        XlaFq2,
+    )
 
     leaves = ([X, Y] if curve == "g1" else [X[0], X[1], Y[0], Y[1]])
     n_pts = leaves[0].shape[1]
+    ny = len(leaves)
+    steps = idx_tape.shape[0]
+    fused = _use_fused()
+    interpret = jax.default_backend() == "cpu"
+
+    if fused:
+        C = 24 if curve == "g1" else 48
+        one_packed = np.array(
+            pack_rows_py(L.FQ.one_mont), dtype=np.uint32
+        ).reshape(8, 1)
+
+        def pack(leaf):  # (16, n) limb rows -> (8, n) packed
+            pairs = leaf.reshape(8, 2, leaf.shape[1])
+            return pairs[:, 0] + (pairs[:, 1] << 16)
+
+        pool = jnp.zeros((C, total_alloc), jnp.uint32)
+        for r, leaf in enumerate(leaves):
+            pool = jax.lax.dynamic_update_slice(pool, pack(leaf), (r * 8, 1))
+        one_col = jnp.asarray(one_packed)
+        z_rows = jnp.broadcast_to(one_col, (8, n_pts))
+        pool = jax.lax.dynamic_update_slice(pool, z_rows, (ny * 8, 1))
+        # identity at slot 0: Y (first component) = 1
+        pool = jax.lax.dynamic_update_slice(pool, one_col, (ny * 4, 0))
+        pool = pool.reshape(C, total_alloc // 128, 128)
+        a_rows = 2 * C // 3  # mixed steps gather X | Y only
+
+        def make_step(mixed: bool):
+            call = step_call(L.FQ.modulus, curve, S, total_alloc, interpret,
+                             mixed)
+
+            def step(pool, xs):
+                idx, t = xs
+                src = pool[:a_rows] if mixed else pool
+                A = src[:, idx[0] // 128, idx[0] % 128]
+                B = src[:, idx[1] // 128, idx[1] % 128]
+                st = (a0 + t * S).reshape(1).astype(jnp.int32)
+                rows = A.shape[0]
+                out = call(
+                    st,
+                    A.reshape(rows, S // 128, 128),
+                    B.reshape(rows, S // 128, 128),
+                    pool,
+                )
+                return out, None
+
+            return step
+
+        ts = jnp.arange(steps, dtype=jnp.int32)
+        if mixed_steps:
+            pool, _ = jax.lax.scan(
+                make_step(True), pool,
+                (idx_tape[:mixed_steps], ts[:mixed_steps]),
+            )
+        pool, _ = jax.lax.scan(
+            make_step(False), pool,
+            (idx_tape[mixed_steps:], ts[mixed_steps:]),
+        )
+        packed = pool.reshape(C, total_alloc)[:, finals_idx]
+        # unpack to (2C, finals) 16-bit limb rows for the host tail
+        lo = packed & 0xFFFF
+        hi = packed >> 16
+        return jnp.stack([lo, hi], axis=1).reshape(2 * C, -1)
+
     C = 48 if curve == "g1" else 96
     one_col = jnp.asarray(
         np.asarray(L.FQ.one_mont, dtype=np.uint32).reshape(L.NLIMBS, 1)
@@ -231,59 +346,49 @@ def _run_tape(X, Y, idx_tape, finals_idx, curve, S, a0, total_alloc):
     pool = jnp.zeros((C, total_alloc), jnp.uint32)
     for r, leaf in enumerate(leaves):
         pool = jax.lax.dynamic_update_slice(pool, leaf, (r * 16, 1))
-    ny = len(leaves)
-    # Z = 1 for every input slot (input infinities never appear on the tape
-    # -- scalar_digits zeroes their digits -- so their Z is moot)
     z_rows = jnp.broadcast_to(one_col, (L.NLIMBS, n_pts))
     pool = jax.lax.dynamic_update_slice(pool, z_rows, (ny * 16, 1))
-    # identity at slot 0: Y (first component) = 1
-    y_row = 16 if curve == "g1" else 32
-    pool = jax.lax.dynamic_update_slice(pool, one_col, (y_row, 0))
+    pool = jax.lax.dynamic_update_slice(pool, one_col, (ny * 8, 0))
 
-    fused = _use_fused()
-    interpret = jax.default_backend() == "cpu"
-    steps = idx_tape.shape[0]
-
-    if fused:
-        # 3-D carry: the kernel's pool blocks alias the carry buffer
-        # directly; a 2-D carry with per-step reshapes costs a pool copy
-        # per step (measured 2.8 vs 2.1 ms/step at S=8192)
-        pool = pool.reshape(C, total_alloc // 128, 128)
-
+    def step_xla(mixed: bool):
         def step(pool, xs):
             idx, t = xs
-            A = pool[:, idx[0] // 128, idx[0] % 128]
-            B = pool[:, idx[1] // 128, idx[1] % 128]
-            st = (a0 + t * S).reshape(1).astype(jnp.int32)
-            out = step_call(L.FQ.modulus, curve, S, total_alloc, interpret)(
-                st,
-                A.reshape(C, S // 128, 128),
-                B.reshape(C, S // 128, 128),
-                pool,
+            A = jnp.take(pool, idx[0], axis=1)
+            B = jnp.take(pool, idx[1], axis=1)
+            if mixed:
+                F = XlaFq if curve == "g1" else XlaFq2
+                if curve == "g1":
+                    V = complete_add_mixed(
+                        F, (A[0:16], A[16:32]), (B[0:16], B[16:32])
+                    )
+                else:
+                    V = complete_add_mixed(
+                        F,
+                        ((A[0:16], A[16:32]), (A[32:48], A[48:64])),
+                        ((B[0:16], B[16:32]), (B[32:48], B[48:64])),
+                    )
+            else:
+                V = proj_add_xla(_split_coords(A, curve),
+                                 _split_coords(B, curve), curve)
+            flat = jnp.concatenate(
+                [V[0], V[1], V[2]] if curve == "g1"
+                else [V[0][0], V[0][1], V[1][0], V[1][1], V[2][0], V[2][1]],
+                axis=0,
             )
-            return out, None
+            st = a0 + t * S
+            return jax.lax.dynamic_update_slice(pool, flat, (0, st)), None
 
+        return step
+
+    ts = jnp.arange(steps, dtype=jnp.int32)
+    if mixed_steps:
         pool, _ = jax.lax.scan(
-            step, pool, (idx_tape, jnp.arange(steps, dtype=jnp.int32))
+            step_xla(True), pool,
+            (idx_tape[:mixed_steps], ts[:mixed_steps]),
         )
-        return pool.reshape(C, total_alloc)[:, finals_idx]
-
-    def step(pool, xs):
-        idx, t = xs
-        A = jnp.take(pool, idx[0], axis=1)
-        B = jnp.take(pool, idx[1], axis=1)
-        V = proj_add_xla(_split_coords(A, curve), _split_coords(B, curve),
-                         curve)
-        flat = jnp.concatenate(
-            [V[0], V[1], V[2]] if curve == "g1"
-            else [V[0][0], V[0][1], V[1][0], V[1][1], V[2][0], V[2][1]],
-            axis=0,
-        )
-        st = a0 + t * S
-        return jax.lax.dynamic_update_slice(pool, flat, (0, st)), None
-
     pool, _ = jax.lax.scan(
-        step, pool, (idx_tape, jnp.arange(steps, dtype=jnp.int32))
+        step_xla(False), pool,
+        (idx_tape[mixed_steps:], ts[mixed_steps:]),
     )
     return pool[:, finals_idx]  # (C, WINDOW_BITS * N_WINDOWS)
 
@@ -442,7 +547,7 @@ def _msm(prepared, scalars, curve: str):
     X, Y = coords
     g = _run_tape(
         X, Y, jnp.asarray(tape.idx), jnp.asarray(tape.finals),
-        curve, tape.S, tape.a0, tape.total_slots,
+        curve, tape.S, tape.a0, tape.total_slots, tape.mixed_steps,
     )
     return _finish_host(g, curve)
 

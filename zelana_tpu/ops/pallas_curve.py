@@ -85,6 +85,32 @@ def complete_add(F, P, Q):
     return X3, Y3, Z3
 
 
+def complete_add_mixed(F, P, Q):
+    """Algorithm 7 specialized to Z1 = Z2 = 1 (both operands original input
+    points): t2 = 1 collapses three products to plain adds -- 9 muls + one
+    mul by 3b. P, Q: (X, Y) affine; the result is fully projective.
+
+    Off-curve padding inputs (the identity slot's (0, 1)) produce garbage
+    that the tape never reads -- the straight line cannot fault."""
+    X1, Y1 = P
+    X2, Y2 = Q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.add(Y1, Y2)
+    Y3 = F.add(X1, X2)
+    t0 = F.add(F.add(t0, t0), t0)
+    b3 = F.b3_const(X1)
+    Z3 = F.add(t1, b3)
+    t1 = F.sub(t1, b3)
+    Y3 = F.mul_b3(Y3)
+    X3 = F.sub(F.mul(t3, t1), F.mul(t4, Y3))
+    Y3 = F.add(F.mul(Y3, t0), F.mul(t1, Z3))
+    Z3 = F.add(F.mul(Z3, t4), F.mul(t0, t3))
+    return X3, Y3, Z3
+
+
 def _b3_g2() -> tuple:
     """3 * b' for the G2 twist, b' = 3 / (9 + u), as integer Fq2 coeffs."""
     from ..fields import tower as tw
@@ -111,6 +137,11 @@ class XlaFq:
         t = L.add(t, t, L.FQ)
         return L.add(t, x, L.FQ)
 
+    @staticmethod
+    def b3_const(like):
+        return L.broadcast_scalar(L.encode_mont([9], L.FQ)[:, 0],
+                                  like.shape[1:])
+
 
 class XlaFq2:
     @staticmethod
@@ -129,12 +160,15 @@ class XlaFq2:
 
     @staticmethod
     def mul_b3(x):
+        return XlaFq2.mul(x, XlaFq2.b3_const(x))
+
+    @staticmethod
+    def b3_const(like):
         c = _b3_g2()
-        const = (L.broadcast_scalar(L.encode_mont([c[0]], L.FQ)[:, 0],
-                                    x[0].shape[1:]),
-                 L.broadcast_scalar(L.encode_mont([c[1]], L.FQ)[:, 0],
-                                    x[0].shape[1:]))
-        return XlaFq2.mul(x, const)
+        return (L.broadcast_scalar(L.encode_mont([c[0]], L.FQ)[:, 0],
+                                   like[0].shape[1:]),
+                L.broadcast_scalar(L.encode_mont([c[1]], L.FQ)[:, 0],
+                                   like[0].shape[1:]))
 
 
 def proj_add_xla(P, Q, curve: str):
@@ -198,6 +232,12 @@ class _KernelFq:
         t = self.add(t, t)
         return self.add(t, x)
 
+    def b3_const(self, like):
+        vals = L.encode_mont([9], L.FQ)[:, 0]
+        return jnp.stack(
+            [jnp.full(like.shape[1:], int(v), jnp.uint32) for v in vals]
+        )
+
 
 class _KernelFq2:
     def __init__(self, spec_mod: int):
@@ -218,6 +258,13 @@ class _KernelFq2:
 
     def sub(self, a, b):
         return (self.f.sub(a[0], b[0]), self.f.sub(a[1], b[1]))
+
+    def b3_const(self, like):
+        shape = like[0].shape[1:]
+        return (
+            jnp.stack([jnp.full(shape, v, jnp.uint32) for v in self.b3_0]),
+            jnp.stack([jnp.full(shape, v, jnp.uint32) for v in self.b3_1]),
+        )
 
     def mul_b3(self, x):
         shape = x[0].shape[1:]
@@ -244,32 +291,73 @@ class _KernelFq2:
 ROWS = 8  # block sublane rows; S and the write offset align to ROWS * 128
 
 
+# The pool stores field elements PACKED: 8 uint32 rows per element, row k
+# holding 16-bit limbs 2k (low half) and 2k+1 (high half). That halves the
+# pool footprint, the gather element count, and the kernel's HBM traffic;
+# kernels unpack to the 16-row limb form in registers.
+
+
+def kernel_unpack(p):
+    """(8k, S, 128) packed u32 -> (16k, S, 128) 16-bit limb rows."""
+    lo = p & 0xFFFF
+    hi = p >> 16
+    k = p.shape[0]
+    return jnp.stack([lo, hi], axis=1).reshape(2 * k, *p.shape[1:])
+
+
+def kernel_pack(a):
+    """(16k, S, 128) limb rows -> (8k, S, 128) packed u32."""
+    k = a.shape[0] // 2
+    pairs = a.reshape(k, 2, *a.shape[1:])
+    return pairs[:, 0] + (pairs[:, 1] << 16)
+
+
+def pack_rows_py(limbs16) -> tuple:
+    """(16,) python/numpy limb values -> 8 packed python ints."""
+    v = [int(x) for x in limbs16]
+    return tuple(v[2 * i] | (v[2 * i + 1] << 16) for i in range(8))
+
+
 @functools.lru_cache(maxsize=None)
 def step_call(modulus: int, curve: str, S: int, total_alloc: int,
-              interpret: bool):
-    C = 48 if curve == "g1" else 96
+              interpret: bool, mixed: bool = False):
+    """The fused MSM step: unpack gathered operands, complete-add, pack,
+    write in place at the scalar-prefetched pool offset.
+
+    mixed=True is the bucket-phase round-0 specialization: both operands
+    are ORIGINAL input points (Z = 1), so the gather skips the Z rows and
+    the add drops to 9 muls (t2 = Z1*Z2 = 1 collapses three products to
+    cheap adds); the result is still fully projective."""
+    C = 24 if curve == "g1" else 48  # packed pool rows
+    A_ROWS = (C * 2 // 3) if mixed else C
     F = _KernelFq(modulus) if curve == "g1" else _KernelFq2(modulus)
+
+    def split(a):
+        if curve == "g1":
+            parts = [a[16 * i:16 * (i + 1)] for i in range(a.shape[0] // 16)]
+        else:
+            comps = [a[16 * i:16 * (i + 1)] for i in range(a.shape[0] // 16)]
+            parts = [(comps[2 * i], comps[2 * i + 1])
+                     for i in range(len(comps) // 2)]
+        return tuple(parts)
+
+    def join(coords):
+        if curve == "g1":
+            return jnp.concatenate(list(coords), axis=0)
+        return jnp.concatenate([c for pair in coords for c in pair], axis=0)
 
     def kernel(st_ref, a_ref, b_ref, pool_ref, out_ref):
         del st_ref, pool_ref  # st feeds the index_map; pool is the alias
-        a, b = a_ref[...], b_ref[...]
-        if curve == "g1":
-            P = (a[0:16], a[16:32], a[32:48])
-            Q = (b[0:16], b[16:32], b[32:48])
-            X3, Y3, Z3 = complete_add(F, P, Q)
-            out_ref[...] = jnp.concatenate([X3, Y3, Z3], axis=0)
+        P = split(kernel_unpack(a_ref[...]))
+        Q = split(kernel_unpack(b_ref[...]))
+        if mixed:
+            R3 = complete_add_mixed(F, P, Q)
         else:
-            P = ((a[0:16], a[16:32]), (a[32:48], a[48:64]),
-                 (a[64:80], a[80:96]))
-            Q = ((b[0:16], b[16:32]), (b[32:48], b[48:64]),
-                 (b[64:80], b[80:96]))
-            X3, Y3, Z3 = complete_add(F, P, Q)
-            out_ref[...] = jnp.concatenate(
-                [X3[0], X3[1], Y3[0], Y3[1], Z3[0], Z3[1]], axis=0
-            )
+            R3 = complete_add(F, P, Q)
+        out_ref[...] = kernel_pack(join(R3))
 
-    coord_spec = pl.BlockSpec((C, ROWS, 128), lambda i, st: (0, i, 0),
-                              memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((A_ROWS, ROWS, 128), lambda i, st: (0, i, 0),
+                          memory_space=pltpu.VMEM)
     pool_spec = pl.BlockSpec(
         (C, ROWS, 128),
         lambda i, st: (0, st[0] // (ROWS * 128) + i, 0),
@@ -278,7 +366,7 @@ def step_call(modulus: int, curve: str, S: int, total_alloc: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S // (ROWS * 128),),
-        in_specs=[coord_spec, coord_spec, pool_spec],
+        in_specs=[a_spec, a_spec, pool_spec],
         out_specs=pool_spec,
     )
     return pl.pallas_call(
