@@ -230,6 +230,80 @@ def build_tape(digits: np.ndarray) -> Tape:
 
 
 # ---------------------------------------------------------------------------
+# tape wire format: ONE uint8 buffer per MSM
+# ---------------------------------------------------------------------------
+#
+# The bench device sits behind a relay with ~24 ms per-transfer latency and
+# ~55 MB/s host->device bandwidth (docs/DEVNOTES.md), so the tape upload --
+# not the device compute -- dominates the MSM. Two levers: (a) ship 2-3
+# bytes per slot index instead of 4 (mixed-prefix operands are original
+# input points, slot <= n+1, so uint16 is exact; general operands carry a
+# separate hi-byte plane), and (b) ship everything (both tape sections +
+# the finals index list) as a SINGLE flat little-endian uint8 buffer so the
+# whole MSM costs exactly one host->device transfer. Chunked uploads were
+# measured 4-10x SLOWER than one shot through the relay, so no pipelining.
+
+
+def _pack_tape(tape: Tape):
+    """Serialize a Tape into one LE uint8 buffer + static decode metadata.
+
+    Layout: [mixed idx (u2 or i4)] [general lo (u2)] [general hi (u1 or u2)]
+    [finals (i4)]. Returns (buf, mixed16, hi16, gen_steps)."""
+    im = tape.idx[: tape.mixed_steps]
+    ig = tape.idx[tape.mixed_steps:]
+    mixed16 = tape.n_points + 1 <= 0xFFFF
+    hi16 = tape.total_slots > (1 << 24)
+    parts = [
+        im.astype("<u2" if mixed16 else "<i4").tobytes(),
+        (ig & 0xFFFF).astype("<u2").tobytes(),
+        (ig >> 16).astype("<u2" if hi16 else "u1").tobytes(),
+        tape.finals.astype("<i4").tobytes(),
+    ]
+    buf = np.frombuffer(b"".join(parts), np.uint8)
+    return buf, mixed16, hi16, ig.shape[0]
+
+
+def _decode_tape(buf, S, mixed_steps, gen_steps, mixed16, hi16):
+    """Device-side inverse of _pack_tape: uint8 buffer -> (idx_mixed,
+    idx_general, finals) int32 arrays. Explicit byte shifts (not bitcast)
+    keep the decode endian-defined on every backend."""
+
+    def u16(b):
+        return b[..., 0].astype(jnp.int32) | (b[..., 1].astype(jnp.int32) << 8)
+
+    def i32(b):
+        return (
+            b[..., 0].astype(jnp.int32)
+            | (b[..., 1].astype(jnp.int32) << 8)
+            | (b[..., 2].astype(jnp.int32) << 16)
+            | (b[..., 3].astype(jnp.int32) << 24)
+        )
+
+    off = 0
+
+    def take(shape, nbytes):
+        nonlocal off
+        n = int(np.prod(shape)) * nbytes
+        part = buf[off: off + n].reshape(*shape, nbytes)
+        off += n
+        return part
+
+    if mixed_steps:
+        m_raw = take((mixed_steps, 2, S), 2 if mixed16 else 4)
+        idx_m = u16(m_raw) if mixed16 else i32(m_raw)
+    else:
+        idx_m = jnp.zeros((0, 2, S), jnp.int32)
+    lo = u16(take((gen_steps, 2, S), 2))
+    if hi16:
+        hi = u16(take((gen_steps, 2, S), 2))
+    else:
+        hi = take((gen_steps, 2, S), 1)[..., 0].astype(jnp.int32)
+    idx_g = lo | (hi << 16)
+    finals = i32(take((WINDOW_BITS * N_WINDOWS,), 4))
+    return idx_m, idx_g, finals
+
+
+# ---------------------------------------------------------------------------
 # device program: one scan over the tape
 # ---------------------------------------------------------------------------
 
@@ -248,12 +322,16 @@ def _split_coords(a, curve: str):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("curve", "S", "a0", "total_alloc", "mixed_steps"),
+    static_argnames=(
+        "curve", "S", "a0", "total_alloc", "mixed_steps", "gen_steps",
+        "mixed16", "hi16",
+    ),
 )
-def _run_tape(X, Y, idx_tape, finals_idx, curve, S, a0, total_alloc,
-              mixed_steps):
+def _run_tape(X, Y, buf, curve, S, a0, total_alloc, mixed_steps, gen_steps,
+              mixed16, hi16):
     """Execute the whole MSM tape as two jitted scans (mixed prefix, then
-    general steps).
+    general steps). `buf` is the single packed uint8 tape from _pack_tape;
+    the index planes and finals list are decoded on device.
 
     Pool layout (TPU): one (C, total_alloc/128, 128) uint32 array with
     PACKED 16-bit limb pairs -- 8 rows per field element, C = 24 (G1) or
@@ -277,7 +355,9 @@ def _run_tape(X, Y, idx_tape, finals_idx, curve, S, a0, total_alloc,
     leaves = ([X, Y] if curve == "g1" else [X[0], X[1], Y[0], Y[1]])
     n_pts = leaves[0].shape[1]
     ny = len(leaves)
-    steps = idx_tape.shape[0]
+    idx_m, idx_g, finals_idx = _decode_tape(
+        buf, S, mixed_steps, gen_steps, mixed16, hi16
+    )
     fused = _use_fused()
     interpret = jax.default_backend() == "cpu"
 
@@ -323,15 +403,16 @@ def _run_tape(X, Y, idx_tape, finals_idx, curve, S, a0, total_alloc,
 
             return step
 
-        ts = jnp.arange(steps, dtype=jnp.int32)
         if mixed_steps:
             pool, _ = jax.lax.scan(
                 make_step(True), pool,
-                (idx_tape[:mixed_steps], ts[:mixed_steps]),
+                (idx_m, jnp.arange(mixed_steps, dtype=jnp.int32)),
             )
         pool, _ = jax.lax.scan(
             make_step(False), pool,
-            (idx_tape[mixed_steps:], ts[mixed_steps:]),
+            (idx_g,
+             jnp.arange(mixed_steps, mixed_steps + gen_steps,
+                        dtype=jnp.int32)),
         )
         packed = pool.reshape(C, total_alloc)[:, finals_idx]
         # unpack to (2C, finals) 16-bit limb rows for the host tail
@@ -380,15 +461,15 @@ def _run_tape(X, Y, idx_tape, finals_idx, curve, S, a0, total_alloc,
 
         return step
 
-    ts = jnp.arange(steps, dtype=jnp.int32)
     if mixed_steps:
         pool, _ = jax.lax.scan(
             step_xla(True), pool,
-            (idx_tape[:mixed_steps], ts[:mixed_steps]),
+            (idx_m, jnp.arange(mixed_steps, dtype=jnp.int32)),
         )
     pool, _ = jax.lax.scan(
         step_xla(False), pool,
-        (idx_tape[mixed_steps:], ts[mixed_steps:]),
+        (idx_g,
+         jnp.arange(mixed_steps, mixed_steps + gen_steps, dtype=jnp.int32)),
     )
     return pool[:, finals_idx]  # (C, WINDOW_BITS * N_WINDOWS)
 
@@ -544,10 +625,11 @@ def _msm(prepared, scalars, curve: str):
     coords, inf = prepared
     digits = scalar_digits(scalars, inf)
     tape = build_tape(digits)
+    buf, mixed16, hi16, gen_steps = _pack_tape(tape)
     X, Y = coords
     g = _run_tape(
-        X, Y, jnp.asarray(tape.idx), jnp.asarray(tape.finals),
-        curve, tape.S, tape.a0, tape.total_slots, tape.mixed_steps,
+        X, Y, jnp.asarray(buf), curve, tape.S, tape.a0, tape.total_slots,
+        tape.mixed_steps, gen_steps, mixed16, hi16,
     )
     return _finish_host(g, curve)
 
