@@ -131,3 +131,26 @@ def test_msm_g2_small():
     got = M.msm_g2(points, scalars)
     expected = G2.msm(points, scalars)
     assert got == expected
+
+
+def test_fixed_base_g1_matches_mul():
+    from zelana_tpu.ops import fixed_base as FB
+
+    g = G1.generator()
+    table = FB.prepare_table_g1(g)
+    scalars = [rng.randrange(R) for _ in range(5)]
+    scalars += [0, 1, 2, R - 1]
+    got = FB.fixed_base_msm(table, scalars)
+    for s, p in zip(scalars, got):
+        assert p == G1.mul(g, s), f"scalar {s}"
+
+
+def test_fixed_base_g2_matches_mul():
+    from zelana_tpu.ops import fixed_base as FB
+
+    g = G2.generator()
+    table = FB.prepare_table_g2(g)
+    scalars = [rng.randrange(R) for _ in range(3)] + [0]
+    got = FB.fixed_base_msm(table, scalars)
+    for s, p in zip(scalars, got):
+        assert p == G2.mul(g, s)

@@ -30,8 +30,13 @@ from .qap import matrix_vector_evals
 from .rng import DeterministicRng
 
 
-def witness_map_device(A, B, C, z, num_instance):
-    """Compute h(x) coefficients on device. Returns list of m-1 ints."""
+def witness_map_dispatch(A, B, C, z, num_instance):
+    """Dispatch the h(x) computation to the device (asynchronous).
+
+    Returns (h_coeffs device handle, domain size); sync + decode with
+    witness_map_collect. The sparse A.z/B.z/C.z evaluation happens host-side
+    (one pass over the matrices), the iFFT -> coset-FFT -> pointwise ->
+    coset-iFFT chain runs as TPU NTT kernels."""
     from ..poly.domain import Domain
 
     domain = Domain.new(len(A) + num_instance)
@@ -51,8 +56,17 @@ def witness_map_device(A, B, C, z, num_instance):
     z_inv_m = L.broadcast_scalar(L.encode_mont([z_inv], L.FR)[:, 0], num.shape[1:])
     h_evals = L.mont_mul(num, z_inv_m, L.FR)
     h_coeffs = NTT.coset_intt(h_evals, plan)
+    return h_coeffs, domain.size
+
+
+def witness_map_collect(h_coeffs, m):
     out = L.decode_mont(np.asarray(h_coeffs), L.FR)
-    return out[: domain.size - 1]
+    return out[: m - 1]
+
+
+def witness_map_device(A, B, C, z, num_instance):
+    """Compute h(x) coefficients on device. Returns list of m-1 ints."""
+    return witness_map_collect(*witness_map_dispatch(A, B, C, z, num_instance))
 
 
 def _prepared_queries(pk: ProvingKey):
@@ -87,15 +101,26 @@ def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
     r = rng.rand_fr(FR)
     s = rng.rand_fr(FR)
 
-    h = witness_map_device(A, B, C, z, num_instance)
-
-    # MSMs over the queries (device); bases prepared once per key
+    # Pipelined dispatch: the witness map goes to the device first; the
+    # a/b1 tape builds (host) overlap its execution; the h download syncs
+    # only on the witness map; b2/l/h tape builds overlap the a/b1 scans.
+    # One digit decomposition serves a/b1/b2 (scalars = z for all three)
+    # and its suffix serves l. msm_end syncs in dispatch order.
+    h_dev, m = witness_map_dispatch(A, B, C, z, num_instance)
     q = _prepared_queries(pk)
-    g_a_sum = MSM.msm_g1_prepared(q["a"], z)
-    g_b1_sum = MSM.msm_g1_prepared(q["b1"], z)
-    g_b2_sum = MSM.msm_g2_prepared(q["b2"], z)
-    l_sum = MSM.msm_g1_prepared(q["l"], z[num_instance:])
-    h_sum = MSM.msm_g1_prepared(q["h"], h)
+    digits_z = MSM.scalar_digits(z)
+    t_a = MSM.msm_begin(q["a"], z, "g1", digits=digits_z)
+    t_b1 = MSM.msm_begin(q["b1"], z, "g1", digits=digits_z)
+    h = witness_map_collect(h_dev, m)
+    t_h = MSM.msm_begin(q["h"], h, "g1")
+    t_b2 = MSM.msm_begin(q["b2"], z, "g2", digits=digits_z)
+    t_l = MSM.msm_begin(q["l"], z[num_instance:], "g1",
+                        digits=digits_z[:, num_instance:])
+    g_a_sum = MSM.msm_end(t_a)
+    g_b1_sum = MSM.msm_end(t_b1)
+    h_sum = MSM.msm_end(t_h)
+    g_b2_sum = MSM.msm_end(t_b2)
+    l_sum = MSM.msm_end(t_l)
 
     # assembly (host, a handful of point ops)
     g_a = G1.add(G1.add(pk.vk.alpha_g1, g_a_sum), G1.mul(pk.delta_g1, r))

@@ -97,15 +97,38 @@ def keygen(circuit, seed: int = 0) -> ProvingKey:
     fb1 = FixedBase(g1_gen, G1)
     fb2 = FixedBase(g2_gen, G2)
 
-    def msm1(scalars: List[int]):
-        return [fb1.mul(s) if s else None for s in scalars]
+    # Query arrays: device fixed-base engine for real circuit sizes (the
+    # host windowed tables take minutes at ~10k points and days at the
+    # batch circuit's ~1.6M); tiny circuits stay host-side to skip the
+    # 2x8160-point table build.
+    m = domain.size
+    if num_vars + m >= 4096:
+        from ..ops.fixed_base import (
+            fixed_base_msm,
+            prepare_table_g1,
+            prepare_table_g2,
+        )
+
+        tg1 = prepare_table_g1(g1_gen)
+        tg2 = prepare_table_g2(g2_gen)
+
+        def msm1(scalars: List[int]):
+            return fixed_base_msm(tg1, [s % FR for s in scalars])
+
+        def msm2(scalars: List[int]):
+            return fixed_base_msm(tg2, [s % FR for s in scalars])
+    else:
+        def msm1(scalars: List[int]):
+            return [fb1.mul(s) if s else None for s in scalars]
+
+        def msm2(scalars: List[int]):
+            return [fb2.mul(s) if s else None for s in scalars]
 
     a_query = msm1(a)
     b_g1_query = msm1(b)
-    b_g2_query = [fb2.mul(s) if s else None for s in b]
+    b_g2_query = msm2(b)
 
     # h_query: (t^j * zt * delta_inv) G1 for j in 0..m-1
-    m = domain.size
     h_scalars = []
     tj = 1
     for _ in range(m - 1):

@@ -621,9 +621,23 @@ def prepare_g2(points):
     return g2_points_to_device(points)
 
 
-def _msm(prepared, scalars, curve: str):
+def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None):
+    """Phase 1: build + upload the tape and DISPATCH the device scans
+    (asynchronous). Returns a handle for msm_end. Callers with several MSMs
+    should begin them all, then end them all: the host tape construction of
+    MSM k+1 then overlaps the device execution of MSM k (the relay executes
+    dispatches in order; only msm_end forces a device->host sync).
+
+    `digits` optionally supplies a precomputed scalar_digits matrix (the
+    Groth16 prover reuses one digit decomposition across the a/b1/b2
+    queries, which share the assignment vector as scalars); infinity-point
+    masking is applied here either way."""
     coords, inf = prepared
-    digits = scalar_digits(scalars, inf)
+    if digits is None:
+        digits = scalar_digits(scalars, inf)
+    elif inf is not None and inf.any():
+        digits = digits.copy()
+        digits[:, inf] = 0
     tape = build_tape(digits)
     buf, mixed16, hi16, gen_steps = _pack_tape(tape)
     X, Y = coords
@@ -631,7 +645,17 @@ def _msm(prepared, scalars, curve: str):
         X, Y, jnp.asarray(buf), curve, tape.S, tape.a0, tape.total_slots,
         tape.mixed_steps, gen_steps, mixed16, hi16,
     )
+    return (g, curve)
+
+
+def msm_end(handle):
+    """Phase 2: sync the device result and run the host Horner tail."""
+    g, curve = handle
     return _finish_host(g, curve)
+
+
+def _msm(prepared, scalars, curve: str):
+    return msm_end(msm_begin(prepared, scalars, curve))
 
 
 def msm_g1_prepared(prepared, scalars):
