@@ -1,18 +1,21 @@
 // Native MSM tape builder (prover host hot path).
 //
 // Builds the uniform-step pair-reduction tape consumed by
-// zelana_tpu/ops/msm_fast.py::_run_tape. Semantics mirror the numpy
-// builder (msm_fast.build_tape): counting sort of (window, digit) keys,
-// round-by-round pairing of equal-key items, bucket bit-subset phase,
-// step padding rules (mixed prefix and general phase each padded to a
-// multiple of 4 steps, at least 4 general steps). Because items stay
-// key-sorted, each round's survivors are emitted in order during the same
-// pass -- the whole build is a handful of linear sweeps (~10x the numpy
-// version, which pays one vector op per pairing substep).
+// zelana_tpu/ops/msm_fast.py::_run_tape: counting sort of (window, digit)
+// keys, round-0 pairing of original points (the mixed-kernel prefix), then
+// a GREEDY dataflow schedule for everything after -- later reduction
+// levels and the bucket bit-subset phase share steps with no per-round
+// barrier, so general steps are ~fully packed instead of ~80% (each round
+// otherwise pads its tail step). A pair is eligible for the current step
+// only if both operands were written in strictly earlier steps (slot <
+// the step's output base); too-fresh items defer to a later pass, which
+// only ever bites on the last few lanes of a level. Mixed prefix and
+// general phase each pad to a multiple of 4 steps so program shapes
+// repeat across proves.
 //
-// Pairing differs from the numpy builder only in which equal-key items
-// pair together; any pairing is algebraically equivalent (point addition
-// is commutative/associative).
+// Pairing differs from the numpy fallback builder only in which equal-key
+// items pair together and in step packing; any pairing is algebraically
+// equivalent (point addition is commutative/associative).
 //
 // Build: g++ -O3 -shared -fPIC -o libzelana_tape.so msm_tape.cpp
 //
@@ -126,6 +129,70 @@ bool reduce_iter(std::vector<i32> &keys, std::vector<i64> &items,
   return any;
 }
 
+// One pair-reduction pass WITHOUT a round barrier: equal-key items pair
+// greedily, but a pair is emitted only when both operands come from
+// strictly earlier steps (slot < em.base, the current step's first output
+// slot); fresher items survive to a later pass. Emitting pairs can wrap
+// the step and raise em.base, so eligibility is rechecked per item.
+bool greedy_iter(std::vector<i32> &keys, std::vector<i64> &items,
+                 Emitter &em) {
+  size_t m = keys.size();
+  size_t w = 0;
+  bool any = false;
+  size_t i = 0;
+  while (i < m) {
+    size_t j = i;
+    while (j + 1 < m && keys[j + 1] == keys[i]) ++j;  // run [i, j]
+    i64 pending = -1;
+    for (size_t k = i; k <= j; ++k) {
+      i64 it = items[k];
+      if (it >= em.base) {  // written in the current step: not yet readable
+        keys[w] = keys[i];
+        items[w] = it;
+        ++w;
+        continue;
+      }
+      if (pending < 0) {
+        pending = it;
+        continue;
+      }
+      i64 out = em.pair(pending, it);
+      keys[w] = keys[i];
+      items[w] = out;
+      ++w;
+      any = true;
+      pending = -1;
+    }
+    if (pending >= 0) {
+      keys[w] = keys[i];
+      items[w] = pending;
+      ++w;
+    }
+    i = j + 1;
+  }
+  keys.resize(w);
+  items.resize(w);
+  return any;
+}
+
+// Greedily reduce until every key is unique. If a pass makes no progress
+// (all remaining duplicates were written in the current partial step),
+// close the step so they become readable; with an empty partial step every
+// item is readable, so each iteration either pairs or advances.
+void reduce_greedy(std::vector<i32> &keys, std::vector<i64> &items,
+                   Emitter &em) {
+  while (!em.overflow) {
+    bool dup = false;
+    for (size_t k = 1; k < keys.size(); ++k)
+      if (keys[k] == keys[k - 1]) {
+        dup = true;
+        break;
+      }
+    if (!dup) return;
+    if (!greedy_iter(keys, items, em)) em.close_round();
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -167,8 +234,7 @@ int zelana_build_tape(const i32 *digits, int w, int n, int n_buckets,
   reduce_iter(keys, items, em);
   em.pad(0);
   int mixed_steps = em.steps;
-  while (reduce_iter(keys, items, em)) {
-  }
+  reduce_greedy(keys, items, em);
 
   // bucket -> slot map
   std::vector<i64> bucket_slot(n_keys, 0);
@@ -195,13 +261,13 @@ int zelana_build_tape(const i32 *digits, int w, int n, int n_buckets,
       }
     }
   }
-  while (reduce_iter(gkeys, gitems, em)) {
-  }
+  reduce_greedy(gkeys, gitems, em);
   for (int g = 0; g < window_bits * w; ++g) finals_out[g] = 0;
   for (size_t k = 0; k < gkeys.size(); ++k)
     finals_out[gkeys[k]] = (i32)gitems[k];
 
   // general phase padding; guarantee at least 4 general steps
+  em.close_round();
   em.pad(mixed_steps);
   if (em.steps == mixed_steps)
     for (int r = 0; r < 4; ++r) em.noop_step();

@@ -247,23 +247,34 @@ def build_tape(digits: np.ndarray) -> Tape:
 def _pack_tape(tape: Tape):
     """Serialize a Tape into one LE uint8 buffer + static decode metadata.
 
-    Layout: [mixed idx (u2 or i4)] [general lo (u2)] [general hi (u1 or u2)]
-    [finals (i4)]. Returns (buf, mixed16, hi16, gen_steps)."""
+    Layout: [mixed idx (u2 or i4)] [general lo (u2)] [general hi (4-bit
+    nibble pair, u1, or u2 per index -- picked from total_slots)]
+    [finals (i4)]. Returns (buf, mixed16, hi_mode, gen_steps)."""
     im = tape.idx[: tape.mixed_steps]
     ig = tape.idx[tape.mixed_steps:]
     mixed16 = tape.n_points + 1 <= 0xFFFF
-    hi16 = tape.total_slots > (1 << 24)
+    if tape.total_slots <= (1 << 20):
+        hi_mode = 4  # hi <= 15: pack the A/B nibbles of a pair in one byte
+        hi_plane = ((ig[:, 0] >> 16) | ((ig[:, 1] >> 16) << 4)).astype(
+            np.uint8
+        )
+    elif tape.total_slots <= (1 << 24):
+        hi_mode = 8
+        hi_plane = (ig >> 16).astype("u1")
+    else:
+        hi_mode = 16
+        hi_plane = (ig >> 16).astype("<u2")
     parts = [
         im.astype("<u2" if mixed16 else "<i4").tobytes(),
         (ig & 0xFFFF).astype("<u2").tobytes(),
-        (ig >> 16).astype("<u2" if hi16 else "u1").tobytes(),
+        hi_plane.tobytes(),
         tape.finals.astype("<i4").tobytes(),
     ]
     buf = np.frombuffer(b"".join(parts), np.uint8)
-    return buf, mixed16, hi16, ig.shape[0]
+    return buf, mixed16, hi_mode, ig.shape[0]
 
 
-def _decode_tape(buf, S, mixed_steps, gen_steps, mixed16, hi16):
+def _decode_tape(buf, S, mixed_steps, gen_steps, mixed16, hi_mode):
     """Device-side inverse of _pack_tape: uint8 buffer -> (idx_mixed,
     idx_general, finals) int32 arrays. Explicit byte shifts (not bitcast)
     keep the decode endian-defined on every backend."""
@@ -294,10 +305,13 @@ def _decode_tape(buf, S, mixed_steps, gen_steps, mixed16, hi16):
     else:
         idx_m = jnp.zeros((0, 2, S), jnp.int32)
     lo = u16(take((gen_steps, 2, S), 2))
-    if hi16:
-        hi = u16(take((gen_steps, 2, S), 2))
-    else:
+    if hi_mode == 4:
+        nib = take((gen_steps, S), 1)[..., 0].astype(jnp.int32)
+        hi = jnp.stack([nib & 0xF, nib >> 4], axis=1)
+    elif hi_mode == 8:
         hi = take((gen_steps, 2, S), 1)[..., 0].astype(jnp.int32)
+    else:
+        hi = u16(take((gen_steps, 2, S), 2))
     idx_g = lo | (hi << 16)
     finals = i32(take((WINDOW_BITS * N_WINDOWS,), 4))
     return idx_m, idx_g, finals
@@ -324,11 +338,11 @@ def _split_coords(a, curve: str):
     jax.jit,
     static_argnames=(
         "curve", "S", "a0", "total_alloc", "mixed_steps", "gen_steps",
-        "mixed16", "hi16",
+        "mixed16", "hi_mode",
     ),
 )
 def _run_tape(X, Y, buf, curve, S, a0, total_alloc, mixed_steps, gen_steps,
-              mixed16, hi16):
+              mixed16, hi_mode):
     """Execute the whole MSM tape as two jitted scans (mixed prefix, then
     general steps). `buf` is the single packed uint8 tape from _pack_tape;
     the index planes and finals list are decoded on device.
@@ -356,7 +370,7 @@ def _run_tape(X, Y, buf, curve, S, a0, total_alloc, mixed_steps, gen_steps,
     n_pts = leaves[0].shape[1]
     ny = len(leaves)
     idx_m, idx_g, finals_idx = _decode_tape(
-        buf, S, mixed_steps, gen_steps, mixed16, hi16
+        buf, S, mixed_steps, gen_steps, mixed16, hi_mode
     )
     fused = _use_fused()
     interpret = jax.default_backend() == "cpu"
@@ -639,11 +653,11 @@ def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None):
         digits = digits.copy()
         digits[:, inf] = 0
     tape = build_tape(digits)
-    buf, mixed16, hi16, gen_steps = _pack_tape(tape)
+    buf, mixed16, hi_mode, gen_steps = _pack_tape(tape)
     X, Y = coords
     g = _run_tape(
         X, Y, jnp.asarray(buf), curve, tape.S, tape.a0, tape.total_slots,
-        tape.mixed_steps, gen_steps, mixed16, hi16,
+        tape.mixed_steps, gen_steps, mixed16, hi_mode,
     )
     return (g, curve)
 
