@@ -1,0 +1,82 @@
+"""Run-scan MSM (ops/msm_scan.py) against the golden host MSM.
+
+Covers the host schedule (sort, lane layout, emit accounting, dense
+placement), the run-scan itself (XLA fallback path on CPU; the Pallas
+kernel shares the same complete_add_z1 straight line), the K-layer merge,
+the fixed bit-subset tree, and the host Horner tail."""
+
+import random
+
+import pytest
+
+from zelana_tpu.curves import g1 as G1
+from zelana_tpu.curves import g2 as G2
+from zelana_tpu.fields.bn254 import R as FR
+from zelana_tpu.ops import msm_scan as MS
+
+
+def _g1_points(n):
+    g = G1.generator()
+    pts, acc = [], g
+    for _ in range(n):
+        pts.append(acc)
+        acc = G1.add(acc, g)
+    return pts
+
+
+def test_msm_scan_g1_matches_golden():
+    r = random.Random(7)
+    n = 50
+    pts = _g1_points(n)
+    scalars = [r.randrange(FR) for _ in range(n)]
+    scalars[3] = 0  # zero scalar: all digits drop into the (w, 0) runs
+    scalars[7] = 255  # single-window digit
+    scalars[9] = scalars[11]  # repeated scalar -> same buckets
+    assert MS.msm_g1(pts, scalars) == G1.msm(pts, scalars)
+
+
+def test_msm_scan_g1_with_infinity_points():
+    r = random.Random(11)
+    pts = _g1_points(20)
+    pts[4] = None
+    pts[5] = None
+    scalars = [r.randrange(FR) for _ in range(20)]
+    expect = G1.msm([p for p in pts if p is not None],
+                    [s for p, s in zip(pts, scalars) if p is not None])
+    assert MS.msm_g1(pts, scalars) == expect
+
+
+def test_msm_scan_g2_matches_golden():
+    r = random.Random(13)
+    n = 12
+    g = G2.generator()
+    pts, acc = [], g
+    for _ in range(n):
+        pts.append(acc)
+        acc = G2.add(acc, g)
+    scalars = [r.randrange(FR) for _ in range(n)]
+    assert MS.msm_g2(pts, scalars) == G2.msm(pts, scalars)
+
+
+def test_schedule_shapes_and_layers():
+    import numpy as np
+
+    from zelana_tpu.ops.msm import scalar_digits
+
+    r = random.Random(3)
+    scalars = [r.randrange(FR) for _ in range(64)]
+    digits = scalar_digits(scalars)
+    s = MS.build_schedule(digits)
+    nw = digits.size
+    lanes = s.perm.shape[1]
+    assert s.perm.shape == (s.R + 1, lanes)
+    assert s.R * lanes >= nw
+    assert s.K >= 1 and (s.K & (s.K - 1)) == 0  # power of two
+    assert s.dense_idx.shape == (s.K, 32 * 256)
+    # flag bit present on the flush row
+    assert (s.perm[s.R] >> 15).all()
+    # every dense entry points inside the emit buffer
+    assert (s.dense_idx >= 0).all()
+    assert (s.dense_idx < (s.R + 1) * lanes).all()
+    # layer 0 of every nonzero-digit bucket that appears is a real position
+    assert (np.asarray(s.dense_idx[0]) != 0).any()

@@ -35,6 +35,18 @@ def make_orchestrator(**kw):
     return PipelineOrchestrator(config=cfg, **kw)
 
 
+def drain(orch, timeout=5.0):
+    """Tick until the async prove worker and settlement are both done."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        orch.tick()
+        if not (orch.proving_in_flight or orch.batches.next_for_proving()
+                or orch.batches.next_for_settlement()):
+            return
+        time.sleep(0.01)
+    raise AssertionError("pipeline did not drain in time")
+
+
 def signed_transfer(seed, sender, to, amount, nonce):
     tx = Transfer(signer_pubkey=sender, to=to, amount=amount, nonce=nonce)
     tx.signature = crypto.sign(seed, tx.signing_message())
@@ -124,8 +136,7 @@ def test_full_l2_cycle_deposit_transfer_withdraw():
 
     batch = orch.seal()
     assert batch is not None
-    orch.tick()  # prove
-    orch.tick()  # settle
+    drain(orch)  # prove (async worker) + settle
     assert orch.stats.batches_proved == 1
     assert orch.stats.batches_settled == 1
 
@@ -160,8 +171,7 @@ def test_shielded_in_pipeline_and_double_spend():
     res = orch.submit(tx2)
     assert not res.accepted and "nullifier" in res.error
     orch.seal()
-    orch.tick()
-    orch.tick()
+    drain(orch)
     # and again after finalization (persistent set)
     tx3 = Shielded(proof=b"\x00" * 324, nullifier=nf, commitment=b"\x44" * 32)
     assert not orch.submit(tx3).accepted
@@ -174,8 +184,7 @@ def test_state_roots_change_and_persist():
     batch = orch.seal()
     assert batch.pre_state_root == pre
     assert batch.post_state_root is not None and batch.post_state_root != pre
-    orch.tick()
-    orch.tick()
+    drain(orch)
     assert orch.tree.root() == batch.post_state_root
     # deposits are deduplicated downstream via processed l1_seq bookkeeping
     assert batch.diff.processed_deposits == [7]
@@ -448,3 +457,37 @@ def test_api_shielded_scan_and_merkle_path():
     finally:
         server.shutdown()
         service.stop()
+
+
+def test_prove_runs_off_tick_thread_accumulation_overlaps():
+    """Stage concurrency (pipeline.rs:367-427): while batch N proves on the
+    worker thread, the tick returns immediately and new submissions land in
+    batch N+1."""
+    from zelana_tpu.sequencer.prover_service import MockProver
+
+    orch = make_orchestrator(prover=MockProver(prove_time_ms=400))
+    orch.submit(Deposit(to=ALICE, amount=1_000, l1_seq=1))
+    orch.submit(signed_transfer(ALICE_SEED, ALICE, BOB, 10, 0))
+    first = orch.seal()
+    assert first is not None
+
+    t0 = time.time()
+    orch.tick()  # dispatches the prove; must NOT block for 400 ms
+    assert time.time() - t0 < 0.2
+    assert orch.proving_in_flight
+
+    # accumulate into the NEXT batch while batch N is proving
+    res = orch.submit(Deposit(to=BOB, amount=50, l1_seq=2))
+    assert res.accepted
+    assert orch.batches.current is not None
+    assert orch.batches.current.id == first.id + 1
+    assert first.state.value == "proving"
+
+    # drain: prove completes on the worker, settle on a later tick
+    deadline = time.time() + 5
+    while time.time() < deadline and orch.stats.batches_settled == 0:
+        orch.tick()
+        time.sleep(0.02)
+    assert orch.stats.batches_proved == 1
+    assert orch.stats.batches_settled == 1
+    assert first.state.value == "finalized"

@@ -16,8 +16,13 @@ def test_convert_reference_vk():
     assert len(svk.alpha_g1) == 64
     assert len(svk.beta_g2) == 128
     assert len(svk.ic) == 3
-    # LE x-coordinate of alpha matches the point
-    assert int.from_bytes(svk.alpha_g1[:32], "little") == vk.alpha_g1[0]
+    # BE x-coordinate of alpha matches the point (syscall convention)
+    assert int.from_bytes(svk.alpha_g1[:32], "big") == vk.alpha_g1[0]
+    # the reference-LE mirror preserves convert_vk.rs's (buggy) layout
+    from zelana_tpu.groth16.solana_vk import convert_vk_reference_le
+
+    le = convert_vk_reference_le(vk)
+    assert int.from_bytes(le.alpha_g1[:32], "little") == vk.alpha_g1[0]
     plan = upload_plan(svk, chunk=2)
     assert plan[0]["instruction"] == "init_batch_vk"
     assert [p["instruction"] for p in plan[1:-1]] == ["append_ic_points"] * 2

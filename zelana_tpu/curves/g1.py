@@ -56,7 +56,15 @@ def double(pt):
 
 
 def mul(pt, k: int):
-    k %= R
+    """Scalar multiplication by the INTEGER k (negative k negates the
+    point). Not reduced mod r: subgroup checks multiply by candidate
+    orders, and G1 being prime-order makes the reduction redundant for
+    legitimate scalars anyway."""
+    if pt is None or k == 0:
+        return None
+    if k < 0:
+        pt = neg(pt)
+        k = -k
     result = None
     base = pt
     while k > 0:

@@ -63,7 +63,16 @@ def add(p1, p2):
 
 
 def mul(pt, k: int):
-    k %= R
+    """Scalar multiplication by the INTEGER k -- deliberately not reduced
+    mod r: G2 has a large cofactor, so callers multiply by values (the
+    cofactor, candidate orders) that are only meaningful unreduced.
+    Reducing here silently made `in_subgroup` a tautology (r * pt -> 0 * pt)
+    and broke cofactor clearing."""
+    if pt is None or k == 0:
+        return None
+    if k < 0:
+        pt = neg(pt)
+        k = -k
     result = None
     base = pt
     while k > 0:

@@ -11,8 +11,10 @@ loop at core/src/sequencer/settlement/prover.rs:408):
   4. final assembly A = alpha + <a,z> + r*delta, B = beta + <b,z> + s*delta,
      C = <l,w> + <h_query,h> + s*A + r*B - rs*delta        (host, tiny)
 
-Randomness: r, s from DeterministicRng(batch_id), the reference's
-seed-per-batch discipline.
+Randomness: r, s drawn from the rand 0.8-compatible StdRng seeded by
+batch_id (stdrng.py), reproducing the reference's
+`StdRng::seed_from_u64(batch_id)` + `Fr::rand` stream bit-for-bit
+(core/src/sequencer/settlement/prover.rs:354).
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from ..ops import ntt as NTT
 from ..ops import msm_fast as MSM
 from .keys import Proof, ProvingKey
 from .qap import matrix_vector_evals
-from .rng import DeterministicRng
+from .stdrng import StdRng, rand_fp
 
 
 def witness_map_dispatch(A, B, C, z, num_instance):
@@ -97,9 +99,10 @@ def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
     z = cs.full_assignment()
     num_instance = cs.num_instance
 
-    rng = DeterministicRng(batch_id)
-    r = rng.rand_fr(FR)
-    s = rng.rand_fr(FR)
+    # ark-groth16 `prove`: r then s, each one `Fr::rand` draw
+    rng = StdRng.seed_from_u64(batch_id)
+    r = rand_fp(rng, FR)
+    s = rand_fp(rng, FR)
 
     # Pipelined dispatch: the witness map goes to the device first; the
     # a/b1 tape builds (host) overlap its execution; the h download syncs

@@ -23,7 +23,7 @@ from ..curves import g1 as G1, g2 as G2
 from ..fields.bn254 import R as FR
 from .keys import ProvingKey, VerifyingKey
 from .qap import evaluate_qap_at
-from .rng import DeterministicRng
+from .stdrng import StdRng, rand_fp, rand_g1, rand_g2
 
 WINDOW = 4
 
@@ -71,21 +71,23 @@ def keygen(circuit, seed: int = 0) -> ProvingKey:
     num_instance = cs.num_instance
     num_vars = num_instance + cs.num_witness
 
-    rng = DeterministicRng(seed)
-    alpha = rng.rand_nonzero_fr(FR)
-    beta = rng.rand_nonzero_fr(FR)
-    gamma = rng.rand_nonzero_fr(FR)
-    delta = rng.rand_nonzero_fr(FR)
-    # random group generators (arkworks samples E::G1::rand / E::G2::rand)
-    g1_gen = G1.mul(G1.generator(), rng.rand_nonzero_fr(FR))
-    g2_gen = G2.mul(G2.generator(), rng.rand_nonzero_fr(FR))
+    # rand 0.8 StdRng stream, sampled in ark-groth16's exact order
+    # (generator.rs: alpha, beta, gamma, delta, G1::rand, G2::rand, then
+    # sample_element_outside_domain for t)
+    rng = StdRng.seed_from_u64(seed)
+    alpha = rand_fp(rng, FR)
+    beta = rand_fp(rng, FR)
+    gamma = rand_fp(rng, FR)
+    delta = rand_fp(rng, FR)
+    g1_gen = rand_g1(rng)
+    g2_gen = rand_g2(rng)
 
     # t outside the domain
     from ..poly.domain import Domain
 
     domain = Domain.new(len(A) + num_instance)
     while True:
-        t = rng.rand_fr(FR)
+        t = rand_fp(rng, FR)
         if domain.evaluate_vanishing_polynomial(t) != 0:
             break
 

@@ -1,11 +1,19 @@
 """VK conversion to the on-chain (Solana) format + chunked upload layout.
 
-Mirror of prover/src/bin/convert_vk.rs: arkworks VerifyingKey -> the
-verifier program's account format -- G1 points as 64 bytes (x||y), G2 as
-128 bytes (x.c0||x.c1||y.c0||y.c1), little-endian coordinate limbs
-(convert_vk.rs:163-190) -- plus the chunked IC upload plan used by
-scripts/store_vk.rs (init_batch_vk / append_ic_points / finalize, verifier
-lib.rs:379-433, MAX_IC_POINTS=8).
+The verifier program stores VK points as raw account bytes and feeds them
+straight into Solana's alt_bn128 syscalls (lib.rs:497-545), which are
+EVM-convention: 32-byte BIG-ENDIAN coordinates, G2 with the imaginary
+coefficient first (EIP-197). `convert_vk` emits that deployed-correct
+format.
+
+NOTE(reference bug): the reference's convert_vk.rs:163-190 writes
+little-endian, c0-first bytes -- a VK the syscalls would misread (same
+LE/BE family as settlement/prover.rs:304-334). `convert_vk_reference_le`
+mirrors it for byte-parity tests; `convert_vk` is what actually verifies.
+
+Also here: the chunked IC upload plan used by scripts/store_vk.rs
+(init_batch_vk / append_ic_points / finalize, verifier lib.rs:379-433,
+MAX_IC_POINTS=8).
 """
 
 from __future__ import annotations
@@ -20,12 +28,34 @@ MAX_IC_POINTS = 8
 
 
 def g1_to_solana(pt) -> bytes:
+    """64 bytes x||y, big-endian (syscall convention)."""
+    if pt is None:
+        return b"\x00" * 64
+    return int(pt[0]).to_bytes(32, "big") + int(pt[1]).to_bytes(32, "big")
+
+
+def g2_to_solana(pt) -> bytes:
+    """128 bytes x_c1||x_c0||y_c1||y_c0, big-endian (EIP-197 order)."""
+    if pt is None:
+        return b"\x00" * 128
+    (x0, x1), (y0, y1) = pt
+    return (
+        int(x1).to_bytes(32, "big")
+        + int(x0).to_bytes(32, "big")
+        + int(y1).to_bytes(32, "big")
+        + int(y0).to_bytes(32, "big")
+    )
+
+
+def g1_to_reference_le(pt) -> bytes:
+    """The reference convert_vk.rs byte layout (little-endian, c0-first) --
+    kept only as a parity artifact of the documented reference bug."""
     if pt is None:
         return b"\x00" * 64
     return int(pt[0]).to_bytes(32, "little") + int(pt[1]).to_bytes(32, "little")
 
 
-def g2_to_solana(pt) -> bytes:
+def g2_to_reference_le(pt) -> bytes:
     if pt is None:
         return b"\x00" * 128
     (x0, x1), (y0, y1) = pt
@@ -69,6 +99,17 @@ def convert_vk(vk: VerifyingKey) -> SolanaVk:
         gamma_g2=g2_to_solana(vk.gamma_g2),
         delta_g2=g2_to_solana(vk.delta_g2),
         ic=[g1_to_solana(p) for p in vk.gamma_abc_g1],
+    )
+
+
+def convert_vk_reference_le(vk: VerifyingKey) -> SolanaVk:
+    """Byte-identical mirror of the reference convert_vk.rs output."""
+    return SolanaVk(
+        alpha_g1=g1_to_reference_le(vk.alpha_g1),
+        beta_g2=g2_to_reference_le(vk.beta_g2),
+        gamma_g2=g2_to_reference_le(vk.gamma_g2),
+        delta_g2=g2_to_reference_le(vk.delta_g2),
+        ic=[g1_to_reference_le(p) for p in vk.gamma_abc_g1],
     )
 
 

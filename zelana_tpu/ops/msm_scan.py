@@ -1,0 +1,389 @@
+"""Run-scan Pippenger MSM: device-side bucket accumulation, one kernel.
+
+The round-2 MSM engine. The tape design (ops/msm_fast.py) ships an explicit
+(a, b) slot-index pair per point addition -- ~5 bytes/add -- so on a
+bandwidth-limited link the upload, not the compute, bounds throughput. This
+design ships ONE index per stream element instead (~2 bytes), and turns the
+whole bucket accumulation into a single Pallas kernel:
+
+1. Host: decompose scalars into 32x8-bit window digits, key each digit slot
+   by (window, digit), and stably sort the (key, point_id) stream -- one
+   uint16 radix argsort. Zero digits stay in the stream (keys (w, 0)) and
+   their bucket sums are simply never read: shapes stay fixed.
+2. The sorted stream is laid out column-major over L lanes x R rows. A flag
+   marks each element that begins a new (window, digit) run.
+3. Device: gather the affine points into stream order, then ONE pallas_call
+   (pallas_curve.runscan_call) scans the R+1 rows: each lane carries a
+   running partial bucket sum in VMEM scratch; on a flag it emits the
+   finished run total and resets to the incoming point. Every addition is
+   the 11-mul complete Z2=1 add -- the incoming operand is always an
+   ORIGINAL affine point -- and operands arrive by block streaming, never
+   by per-step XLA gathers.
+4. Runs that straddle a lane boundary emit one partial per lane; the host
+   knows every emit position, so bucket totals are assembled by gathering
+   K layers of partials into a dense (32 windows x 256 digits) layout and
+   K-1 fixed full-width complete adds (pallas_curve.pairs_add_call).
+5. Bucket-weighted reduction sum_d d*S_d splits by digit bits (as in
+   msm_fast): 8 x 32 bit-subset sums, computed by a FIXED masked gather +
+   7-level pairwise reduction tree -- structure known at compile time, no
+   per-MSM upload. The final Horner over bits and windows reuses
+   msm_fast._finish_host (host bigints, one field inversion).
+
+Upload per MSM: the (R+1, L) uint16 perm/flag plane + K x 8192 dense
+indices -- ~2.5x less than the tape format -- and nothing else; scalars
+that are already device-resident (the production witness path) need no
+per-MSM transfer at all beyond the perm, which the a/b1/b2 MSMs of one
+Groth16 prove share (same scalar vector -> same schedule).
+
+Reference counterpart: the rayon MSMs inside ark-groth16's prove
+(core/src/sequencer/settlement/prover.rs:408).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs as L
+from .msm import (
+    N_BUCKETS,
+    N_WINDOWS,
+    WINDOW_BITS,
+    g1_points_to_device,
+    g2_points_to_device,
+    scalar_digits,
+)
+from .msm_fast import _finish_host
+
+LANES = 8192  # stream lanes; rows R = padded_stream / LANES
+
+
+def _round_pow2(x: int, lo: int = 1) -> int:
+    return max(lo, 1 << (x - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# host schedule
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Schedule:
+    perm: np.ndarray  # (R+1, L) uint16: point id | flag << 15 (n <= 2^15)
+    perm_hi: np.ndarray | None  # (R+1, L) uint8 extra id bits for n > 2^15
+    dense_idx: np.ndarray  # (K, W * 256) int32 emit-buffer positions
+    R: int
+    K: int
+    n_points: int
+
+
+def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
+    """digits: (W, N) int32 window digits (zeros included)."""
+    w, n = digits.shape
+    nw = w * n
+    keys = (
+        np.arange(w, dtype=np.int32)[:, None] * N_BUCKETS + digits
+    ).reshape(-1).astype(np.uint16)
+    order = np.argsort(keys, kind="stable")
+    skeys = keys[order].astype(np.int64)
+    spid = (order % np.int64(n)).astype(np.int64)
+
+    lanes = min(lanes, _round_pow2(max(nw // 8, 128), 128))
+    R = -(-nw // lanes)
+    pad = R * lanes - nw
+    SENT = w * N_BUCKETS  # sorts after every real key
+    if pad:
+        skeys = np.concatenate([skeys, np.full(pad, SENT, np.int64)])
+        spid = np.concatenate([spid, np.zeros(pad, np.int64)])
+
+    # column-major: lane l processes stream slice [l*R, (l+1)*R)
+    keys_col = np.ascontiguousarray(skeys.reshape(lanes, R).T)  # (R, L)
+    pid_col = np.ascontiguousarray(spid.reshape(lanes, R).T)
+    flags = np.ones((R, lanes), bool)
+    flags[1:] = keys_col[1:] != keys_col[:-1]
+
+    # emit accounting: the run ending at row r-1 of lane l is emitted at
+    # (r, l) when flags[r, l]; the last row's runs are emitted by the
+    # flush row R (all flags set)
+    er, el = np.nonzero(flags[1:])
+    pos = np.concatenate([(er + 1) * lanes + el,
+                          R * lanes + np.arange(lanes)])
+    key = np.concatenate([keys_col[er, el], keys_col[R - 1, :]])
+    valid = (key < SENT) & (key % N_BUCKETS != 0)
+    pos, key = pos[valid], key[valid]
+    o = np.argsort(key, kind="stable")
+    pos, key = pos[o], key[o]
+
+    # layer the per-lane partials: occurrence index within each bucket
+    first = np.ones(len(key), bool)
+    first[1:] = key[1:] != key[:-1]
+    start = np.flatnonzero(first)
+    gid = np.cumsum(first) - 1
+    occ = np.arange(len(key)) - start[gid]
+    K = _round_pow2(int(occ.max()) + 1 if len(occ) else 1)
+    # emit position 0 is row 0 of lane 0 -- always the identity (every
+    # lane's first flag emits the initial carry), the default filler
+    dense_idx = np.zeros((K, w * N_BUCKETS), np.int32)
+    dense_idx[occ, key] = pos
+
+    perm_rows = np.zeros((R + 1, lanes), np.int64)
+    perm_rows[:R] = pid_col
+    flag_rows = np.ones((R + 1, lanes), bool)
+    flag_rows[:R] = flags
+    if n <= (1 << 15):
+        perm = (perm_rows | (flag_rows.astype(np.int64) << 15)).astype(
+            np.uint16
+        )
+        perm_hi = None
+    else:
+        perm = (perm_rows & 0x7FFF | (flag_rows.astype(np.int64) << 15)
+                ).astype(np.uint16)
+        perm_hi = (perm_rows >> 15).astype(np.uint8)
+    return Schedule(perm=perm, perm_hi=perm_hi, dense_idx=dense_idx, R=R,
+                    K=K, n_points=n)
+
+
+@functools.lru_cache(maxsize=1)
+def _subset_idx():
+    """Fixed gather of the bit-subset groups: (8 bits x 32 windows x 128
+    digits-with-bit-set) into the dense (W*256) bucket layout; group order
+    t*N_WINDOWS + w matches msm_fast._finish_host's finals layout."""
+    idx = np.zeros((WINDOW_BITS, N_WINDOWS, N_BUCKETS // 2), np.int32)
+    for t in range(WINDOW_BITS):
+        ds = np.flatnonzero((np.arange(N_BUCKETS) >> t) & 1)
+        for wi in range(N_WINDOWS):
+            idx[t, wi] = wi * N_BUCKETS + ds
+    return jnp.asarray(idx.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# device program
+# ---------------------------------------------------------------------------
+
+
+def _pack_pool(coords, curve: str):
+    """prepared leaves (16, n) u32 -> packed (VC, ceil(n/128), 128) pool."""
+    leaves = ([coords[0], coords[1]] if curve == "g1"
+              else [coords[0][0], coords[0][1], coords[1][0], coords[1][1]])
+    n = leaves[0].shape[1]
+    npad = -(-n // 128) * 128
+
+    def pack(leaf):
+        if npad != n:
+            leaf = jnp.pad(leaf, ((0, 0), (0, npad - n)))
+        pairs = leaf.reshape(8, 2, npad)
+        return pairs[:, 0] + (pairs[:, 1] << 16)
+
+    pool = jnp.concatenate([pack(lf) for lf in leaves], axis=0)
+    return pool.reshape(pool.shape[0], npad // 128, 128)
+
+
+def _use_fused() -> bool:
+    import os
+
+    if os.environ.get("ZELANA_FORCE_PALLAS") == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def _ident_packed(C: int, shape) -> jnp.ndarray:
+    """Packed identity (0 : 1 : 0) broadcast over trailing `shape`."""
+    from .pallas_curve import pack_rows_py
+
+    one = np.asarray(pack_rows_py(L.FQ.one_mont), np.uint32)
+    ident = np.zeros(C, np.uint32)
+    ident[C // 3: C // 3 + 8] = one
+    return jnp.broadcast_to(
+        jnp.asarray(ident).reshape(C, *([1] * len(shape))), (C, *shape)
+    )
+
+
+def _runscan_xla(vals2, flags2, curve: str):
+    """CPU/test fallback: the run-scan as one lax.scan over stream rows
+    (same math as pallas_curve.runscan_call, XLA field ops)."""
+    from .pallas_curve import (
+        XlaFq,
+        XlaFq2,
+        _coords,
+        _flat,
+        complete_add_z1,
+        kernel_pack,
+        kernel_unpack,
+    )
+
+    C = 24 if curve == "g1" else 48
+    F = XlaFq if curve == "g1" else XlaFq2
+    lanes = vals2.shape[2]
+    ident = _ident_packed(C, (lanes,))
+    one_limbs = L.broadcast_scalar(L.encode_mont([1], L.FQ)[:, 0], (lanes,))
+
+    def step(carry, xs):
+        v, f = xs
+        fb = (f != 0)[None, :]
+        emit = jnp.where(fb, carry, ident)
+        cu = kernel_unpack(carry)
+        vu = kernel_unpack(v)
+        P = _coords(cu, curve, 3 if curve == "g1" else 6)
+        Q = _coords(vu, curve, 2 if curve == "g1" else 4)
+        S3 = complete_add_z1(F, P, Q)
+        if curve == "g1":
+            prom = (vu[0:16], vu[16:32], one_limbs)
+            newc = tuple(jnp.where(fb, prom[i], S3[i]) for i in range(3))
+        else:
+            zero = jnp.zeros_like(one_limbs)
+            prom = ((vu[0:16], vu[16:32]), (vu[32:48], vu[48:64]),
+                    (one_limbs, zero))
+            newc = tuple(
+                (jnp.where(fb, prom[i][0], S3[i][0]),
+                 jnp.where(fb, prom[i][1], S3[i][1]))
+                for i in range(3)
+            )
+        return kernel_pack(_flat(newc, curve)), emit
+
+    _, emits = jax.lax.scan(step, ident, (vals2, flags2))
+    return emits  # (R+1, C, lanes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("curve", "R", "lanes", "K", "has_hi")
+)
+def _device_msm(pool, perm, perm_hi, dense_idx, subset_idx, curve, R, lanes,
+                K, has_hi):
+    from .pallas_curve import pairs_add_call, proj_add_xla, runscan_call
+
+    fused = _use_fused()
+    interpret = jax.default_backend() == "cpu"
+    C = 24 if curve == "g1" else 48
+    Ls = lanes // 128
+    pid = (perm & 0x7FFF).astype(jnp.int32)
+    if has_hi:
+        pid = pid | (perm_hi.astype(jnp.int32) << 15)
+    flag = (perm >> 15).astype(jnp.int32)
+
+    vals = pool[:, pid // 128, pid % 128]  # (VC, R+1, lanes)
+    VC = vals.shape[0]
+
+    if fused:
+        vals4 = vals.reshape(VC, R + 1, Ls, 128).transpose(1, 0, 2, 3)
+        flag3 = flag.reshape(R + 1, Ls, 128)
+        emit = runscan_call(L.FQ.modulus, curve, Ls, R, interpret)(
+            vals4, flag3
+        )
+        flat = emit.transpose(1, 0, 2, 3).reshape(C, (R + 1) * lanes)
+    else:
+        vals2 = vals.transpose(1, 0, 2)  # (R+1, VC, lanes)
+        emit = _runscan_xla(vals2, flag, curve)
+        flat = emit.transpose(1, 0, 2).reshape(C, (R + 1) * lanes)
+
+    def _unpack2(p):
+        from .pallas_curve import kernel_unpack
+
+        return kernel_unpack(p)
+
+    def padd(a, b):
+        m = a.shape[1]
+        if fused:
+            call = pairs_add_call(L.FQ.modulus, curve, m, interpret)
+            out = call(a.reshape(C, m // 128, 128),
+                       b.reshape(C, m // 128, 128))
+            return out.reshape(C, m)
+        from .pallas_curve import _coords, _flat, kernel_pack
+
+        P = _coords(_unpack2(a), curve, 3 if curve == "g1" else 6)
+        Q = _coords(_unpack2(b), curve, 3 if curve == "g1" else 6)
+        return kernel_pack(_flat(proj_add_xla(P, Q, curve), curve))
+
+    dense = flat[:, dense_idx]  # (C, K, W*256)
+    merged = dense[:, 0]
+    for k in range(1, K):
+        merged = padd(merged, dense[:, k])
+
+    sub = merged[:, subset_idx]  # (C, 8*32*128)
+    h = N_BUCKETS // 2
+    x = sub.reshape(C, WINDOW_BITS * N_WINDOWS, h)
+    while h > 1:
+        h //= 2
+        a = x[:, :, :h].reshape(C, -1)
+        b = x[:, :, h:2 * h].reshape(C, -1)
+        x = padd(a, b).reshape(C, WINDOW_BITS * N_WINDOWS, h)
+    finals = x[:, :, 0]  # (C, 256) packed
+
+    lo = finals & 0xFFFF
+    hi = finals >> 16
+    return jnp.stack([lo, hi], axis=1).reshape(2 * C, -1)
+
+
+# ---------------------------------------------------------------------------
+# public API (mirrors msm_fast: begin/end for pipelining)
+# ---------------------------------------------------------------------------
+
+
+def prepare_g1(points):
+    coords, inf = g1_points_to_device(points)
+    return (_pack_pool(coords, "g1"), inf, "g1")
+
+
+def prepare_g2(points):
+    coords, inf = g2_points_to_device(points)
+    return (_pack_pool(coords, "g2"), inf, "g2")
+
+
+def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
+              schedule: Schedule = None):
+    """Dispatch the device program (async). Returns a handle for msm_end.
+
+    `schedule` lets callers reuse one host schedule across MSMs that share
+    a scalar vector (the Groth16 a/b1/b2 queries)."""
+    pool, inf, pcurve = prepared
+    assert pcurve == curve
+    if schedule is None:
+        if digits is None:
+            digits = scalar_digits(scalars, inf)
+        elif inf is not None and inf.any():
+            digits = digits.copy()
+            digits[:, inf] = 0
+        schedule = build_schedule(digits)
+    s = schedule
+    has_hi = s.perm_hi is not None
+    g = _device_msm(
+        pool,
+        jnp.asarray(s.perm),
+        jnp.asarray(s.perm_hi) if has_hi else jnp.zeros((1, 1), jnp.uint8),
+        jnp.asarray(s.dense_idx),
+        _subset_idx(),
+        curve,
+        s.R,
+        s.perm.shape[1],
+        s.K,
+        has_hi,
+    )
+    return (g, curve)
+
+
+def msm_end(handle):
+    g, curve = handle
+    return _finish_host(g, curve)
+
+
+def msm_g1_prepared(prepared, scalars):
+    return msm_end(msm_begin(prepared, scalars, "g1"))
+
+
+def msm_g2_prepared(prepared, scalars):
+    return msm_end(msm_begin(prepared, scalars, "g2"))
+
+
+def msm_g1(points, scalars):
+    if not points:
+        return None
+    return msm_g1_prepared(prepare_g1(points), scalars)
+
+
+def msm_g2(points, scalars):
+    if not points:
+        return None
+    return msm_g2_prepared(prepare_g2(points), scalars)

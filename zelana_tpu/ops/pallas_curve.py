@@ -111,6 +111,32 @@ def complete_add_mixed(F, P, Q):
     return X3, Y3, Z3
 
 
+def complete_add_z1(F, P, Q):
+    """Algorithm 7 specialized to Z2 = 1 (Q affine, P fully projective):
+    11 muls + 2 mul-by-3b. The run-scan MSM's steady-state add -- the carry
+    (a partial bucket sum) is projective while every incoming stream element
+    is an ORIGINAL affine input point.
+
+    Complete: identity carry (0:1:0), doubling, and P + (-P) all flow
+    through the same straight line."""
+    X1, Y1, Z1 = P
+    X2, Y2 = Q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t3 = F.sub(F.mul(F.add(X1, Y1), F.add(X2, Y2)), F.add(t0, t1))
+    t4 = F.add(F.mul(Y2, Z1), Y1)
+    Y3 = F.add(F.mul(X2, Z1), X1)
+    t0 = F.add(F.add(t0, t0), t0)
+    t2 = F.mul_b3(Z1)
+    Z3 = F.add(t1, t2)
+    t1 = F.sub(t1, t2)
+    Y3 = F.mul_b3(Y3)
+    X3 = F.sub(F.mul(t3, t1), F.mul(t4, Y3))
+    Y3 = F.add(F.mul(Y3, t0), F.mul(t1, Z3))
+    Z3 = F.add(F.mul(Z3, t4), F.mul(t0, t3))
+    return X3, Y3, Z3
+
+
 def _b3_g2() -> tuple:
     """3 * b' for the G2 twist, b' = 3 / (9 + u), as integer Fq2 coeffs."""
     from ..fields import tower as tw
@@ -375,5 +401,141 @@ def step_call(modulus: int, curve: str, S: int, total_alloc: int,
         out_shape=jax.ShapeDtypeStruct((C, total_alloc // 128, 128),
                                        jnp.uint32),
         input_output_aliases={3: 0},  # pool arg (after the scalar) -> out
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the run-scan MSM kernel: whole bucket accumulation in ONE pallas_call
+# ---------------------------------------------------------------------------
+#
+# The round-2 MSM (ops/msm_scan.py) streams the key-sorted digit stream
+# through this kernel: grid step r consumes stream row r (one affine point
+# per lane), the running per-lane bucket partial (the "carry") lives in a
+# VMEM scratch that persists across the sequentially-executed grid steps,
+# and a host-provided flag marks where a new (window, digit) run begins --
+# emit the finished carry, reset to the incoming point. One kernel replaces
+# the per-step dispatch + gather of the tape design: all operands arrive by
+# Pallas block streaming, never by XLA gather.
+
+
+def _coords(a, curve: str, ny: int):
+    """Split (16*ny, ...) limb rows into ny G1 coords or ny/2 Fq2 pairs."""
+    parts = [a[16 * i:16 * (i + 1)] for i in range(ny)]
+    if curve == "g1":
+        return tuple(parts)
+    return tuple((parts[2 * i], parts[2 * i + 1]) for i in range(ny // 2))
+
+
+def _flat(coords, curve: str):
+    if curve == "g1":
+        return jnp.concatenate(list(coords), axis=0)
+    return jnp.concatenate([c for pair in coords for c in pair], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def runscan_call(modulus: int, curve: str, Ls: int, R: int, interpret: bool):
+    """Returns call(vals, flags) -> emit.
+
+    vals:  (R+1, VC, Ls, 128) packed u32 -- stream row r = one affine point
+           per lane (VC = 16 packed rows for G1 X|Y, 32 for G2).
+    flags: (R+1, Ls, 128) int32; 1 = this element begins a new run.
+    emit:  (R+1, C, Ls, 128) packed u32 -- row r holds, per lane, the
+           finished run total when flags[r] = 1 (else the identity).
+           Row R is the flush row (host sets flags[R] = 1).
+    """
+    C = 24 if curve == "g1" else 48
+    VC = 16 if curve == "g1" else 32
+    F = _KernelFq(modulus) if curve == "g1" else _KernelFq2(modulus)
+    one16 = tuple(int(v) for v in L.encode_mont([1], L.FQ)[:, 0])
+
+    ypos = C // 3  # first packed row of the Y coordinate
+
+    def kernel(vals_ref, flag_ref, emit_ref, carry_ref):
+        r = pl.program_id(0)
+        one_limbs = jnp.stack(
+            [jnp.full((Ls, 128), v, jnp.uint32) for v in one16]
+        )
+        one_packed = kernel_pack(one_limbs)  # (8, Ls, 128)
+        # identity (0 : 1 : 0): Y's first Fq component = one_mont
+        ident = jnp.concatenate(
+            [
+                jnp.zeros((ypos, Ls, 128), jnp.uint32),
+                one_packed,
+                jnp.zeros((C - ypos - 8, Ls, 128), jnp.uint32),
+            ],
+            axis=0,
+        )
+
+        @pl.when(r == 0)
+        def _():
+            carry_ref[...] = ident
+
+        f = flag_ref[0][None, :, :] != 0  # (1, Ls, 128) bool
+        cpacked = carry_ref[...]
+        emit_ref[...] = jnp.where(f, cpacked, ident)[None]
+
+        c = kernel_unpack(cpacked)
+        v = kernel_unpack(vals_ref[0])
+        P3 = _coords(c, curve, 3 if curve == "g1" else 6)
+        Q2 = _coords(v, curve, 2 if curve == "g1" else 4)
+        S3 = complete_add_z1(F, P3, Q2)
+
+        # new carry: flag ? promote(Q) : P + Q
+        if curve == "g1":
+            prom = (v[0:16], v[16:32], one_limbs)
+            newc = tuple(jnp.where(f, prom[i], S3[i]) for i in range(3))
+        else:
+            zero = jnp.zeros_like(one_limbs)
+            prom = ((v[0:16], v[16:32]), (v[32:48], v[48:64]),
+                    (one_limbs, zero))
+            newc = tuple(
+                (jnp.where(f, prom[i][0], S3[i][0]),
+                 jnp.where(f, prom[i][1], S3[i][1]))
+                for i in range(3)
+            )
+        carry_ref[...] = kernel_pack(_flat(newc, curve))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(R + 1,),
+        in_specs=[
+            pl.BlockSpec((1, VC, Ls, 128), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ls, 128), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, Ls, 128), lambda r: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R + 1, C, Ls, 128), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((C, Ls, 128), jnp.uint32)],
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def pairs_add_call(modulus: int, curve: str, n: int, interpret: bool):
+    """call(A, B) -> A + B: plain batched complete projective add over
+    packed (C, n//128, 128) arrays. Used by the run-scan MSM's fixed
+    bucket-merge / bit-subset reduction tree (no pool, no aliasing)."""
+    C = 24 if curve == "g1" else 48
+    F = _KernelFq(modulus) if curve == "g1" else _KernelFq2(modulus)
+    rows = min(ROWS, n // 128)
+
+    def kernel(a_ref, b_ref, o_ref):
+        P = _coords(kernel_unpack(a_ref[...]), curve,
+                    3 if curve == "g1" else 6)
+        Q = _coords(kernel_unpack(b_ref[...]), curve,
+                    3 if curve == "g1" else 6)
+        o_ref[...] = kernel_pack(_flat(complete_add(F, P, Q), curve))
+
+    spec = pl.BlockSpec((C, rows, 128), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // (rows * 128),),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((C, n // 128, 128), jnp.uint32),
         interpret=interpret,
     )

@@ -99,6 +99,7 @@ class PipelineOrchestrator:
         self.stats = PipelineStats()
         self._settle_retries = 0
         self._lock = threading.RLock()
+        self._prove_inflight: Optional[Batch] = None  # stage-2 slot
         # bridge-side services (bridge/{withdrawals,fast_withdrawals}.rs)
         self.withdrawals = WithdrawalQueue(self.store)
         self.fast_withdrawals = FastWithdrawManager()
@@ -267,6 +268,11 @@ class PipelineOrchestrator:
             self._try_prove()
             self._try_settle()
 
+    @property
+    def proving_in_flight(self) -> bool:
+        with self._lock:
+            return self._prove_inflight is not None
+
     def _fold_public_inputs(self, batch: Batch,
                             witness: BatchWitness) -> BatchPublicInputs:
         """Circuit-native public inputs (Poseidon folds over balances)."""
@@ -306,6 +312,15 @@ class PipelineOrchestrator:
         )
 
     def _try_prove(self):
+        """Stage 2 dispatch: pick the next sealed batch and hand it to the
+        prover WORKER THREAD. The tick (and with it submission/settlement)
+        never blocks on the prove -- accumulate, prove, and settle overlap
+        across batches, mirroring the reference's spawn_blocking design
+        (pipeline.rs:367-427). One prove in flight at a time (the stage has
+        one slot; the reference's 3-stage pipeline likewise proves one
+        batch while the next accumulates)."""
+        if self._prove_inflight is not None:
+            return
         batch = self.batches.next_for_proving()
         if batch is None:
             return
@@ -324,15 +339,28 @@ class PipelineOrchestrator:
 
             wd_root = self.batches.withdrawal_root(batch)
             inputs = build_public_inputs(batch, wd_root)
+        self._prove_inflight = batch
+        worker = threading.Thread(
+            target=self._prove_worker, args=(batch, inputs, witness),
+            daemon=True,
+        )
+        worker.start()
+
+    def _prove_worker(self, batch: Batch, inputs, witness):
+        """Runs OFF the tick thread; only result handling takes the lock."""
         try:
             proof = self.prover.prove(inputs, witness)
         except Exception as exc:  # prover failure: mark batch failed
-            batch.state = BatchState.FAILED
-            batch.error = f"prove failed: {exc}"
+            with self._lock:
+                batch.state = BatchState.FAILED
+                batch.error = f"prove failed: {exc}"
+                self._prove_inflight = None
             return
-        self.batches.batch_proved(batch, proof)
-        self.stats.batches_proved += 1
-        self.stats.proving_time_ms_total += proof.proving_time_ms
+        with self._lock:
+            self.batches.batch_proved(batch, proof)
+            self.stats.batches_proved += 1
+            self.stats.proving_time_ms_total += proof.proving_time_ms
+            self._prove_inflight = None
 
     def _try_settle(self):
         batch = self.batches.next_for_settlement()
@@ -430,12 +458,17 @@ class PipelineService:
     def stop(self):
         # graceful shutdown: seal the pending batch first (pipeline.rs:836-852)
         self.orchestrator.seal()
-        for _ in range(20):
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
             self.orchestrator.tick()
-            pending = self.orchestrator.batches.next_for_proving() or \
-                self.orchestrator.batches.next_for_settlement()
-            if pending is None:
+            pending = (
+                self.orchestrator.proving_in_flight
+                or self.orchestrator.batches.next_for_proving()
+                or self.orchestrator.batches.next_for_settlement()
+            )
+            if not pending:
                 break
+            time.sleep(0.02)
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)

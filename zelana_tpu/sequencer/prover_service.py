@@ -77,20 +77,27 @@ def compute_batch_hash(transactions) -> bytes:
 
 
 def proof_to_solana_bytes(proof: Proof) -> bytes:
-    """(negated pi_a | pi_b | pi_c), 256 bytes, little-endian coordinates."""
+    """(negated pi_a | pi_b | pi_c), 256 bytes, in the encoding the DEPLOYED
+    verifier's alt_bn128 syscalls consume: big-endian coordinates, G2 with
+    the imaginary coefficient first (EIP-197 order).
+
+    NOTE(reference bug, fixed here): the reference prover writes
+    little-endian, c0-first bytes (settlement/prover.rs:304-334) that the
+    big-endian syscalls would misread; this framework emits what the
+    on-chain program actually verifies (onchain_verifier.py)."""
     from ..curves import g1 as G1
 
     out = bytearray()
     a_neg = G1.neg(proof.a)
-    out += int(a_neg[0]).to_bytes(32, "little")
-    out += int(a_neg[1]).to_bytes(32, "little")
+    out += int(a_neg[0]).to_bytes(32, "big")
+    out += int(a_neg[1]).to_bytes(32, "big")
     (x0, x1), (y0, y1) = proof.b
-    out += int(x0).to_bytes(32, "little")
-    out += int(x1).to_bytes(32, "little")
-    out += int(y0).to_bytes(32, "little")
-    out += int(y1).to_bytes(32, "little")
-    out += int(proof.c[0]).to_bytes(32, "little")
-    out += int(proof.c[1]).to_bytes(32, "little")
+    out += int(x1).to_bytes(32, "big")
+    out += int(x0).to_bytes(32, "big")
+    out += int(y1).to_bytes(32, "big")
+    out += int(y0).to_bytes(32, "big")
+    out += int(proof.c[0]).to_bytes(32, "big")
+    out += int(proof.c[1]).to_bytes(32, "big")
     return bytes(out)
 
 
@@ -98,13 +105,40 @@ def solana_bytes_to_proof(data: bytes) -> Proof:
     """Inverse of proof_to_solana_bytes (un-negates pi_a)."""
     from ..curves import g1 as G1
 
-    def fle(off):
-        return int.from_bytes(data[off : off + 32], "little")
+    def fbe(off):
+        return int.from_bytes(data[off : off + 32], "big")
 
-    a = G1.neg((fle(0), fle(32)))
-    b = ((fle(64), fle(96)), (fle(128), fle(160)))
-    c = (fle(192), fle(224))
+    a = G1.neg((fbe(0), fbe(32)))
+    b = ((fbe(96), fbe(64)), (fbe(160), fbe(128)))
+    c = (fbe(192), fbe(224))
     return Proof(a=a, b=b, c=c)
+
+
+def public_input_values(inputs: "BatchPublicInputs") -> List[int]:
+    """The circuit's seven public-input field VALUES: roots parsed
+    little-endian mod r exactly as the circuit allocates them
+    (l2_circuit.rs from_le_bytes_mod_order), then batch_id."""
+    from ..fields.bn254 import R as FR_MOD
+    from ..fields.fp import from_le_bytes_mod_order
+
+    return [
+        from_le_bytes_mod_order(inputs.pre_state_root, FR_MOD),
+        from_le_bytes_mod_order(inputs.post_state_root, FR_MOD),
+        from_le_bytes_mod_order(inputs.pre_shielded_root, FR_MOD),
+        from_le_bytes_mod_order(inputs.post_shielded_root, FR_MOD),
+        from_le_bytes_mod_order(inputs.withdrawal_root, FR_MOD),
+        from_le_bytes_mod_order(inputs.batch_hash, FR_MOD),
+        inputs.batch_id,
+    ]
+
+
+def batch_inputs_to_solana_bytes(inputs: "BatchPublicInputs") -> List[bytes]:
+    """The settler-side wire serialization: each circuit VALUE as a 32-byte
+    BIG-ENDIAN array -- the exact bytes the deployed verifier feeds into
+    alt_bn128_multiplication (lib.rs:479-494 passes them through raw, so
+    they must already be syscall-convention). batch_id lands big-endian in
+    the last 8 bytes, matching lib.rs:487-492."""
+    return [v.to_bytes(32, "big") for v in public_input_values(inputs)]
 
 
 class MockProver:
@@ -186,22 +220,12 @@ class Groth16Prover:
         )
 
     def verify(self, proof: BatchProof) -> bool:
-        from ..fields.fp import from_le_bytes_mod_order
-        from ..fields.bn254 import R as FR_MOD
         from ..groth16.verify import verify as groth16_verify
 
         p = solana_bytes_to_proof(proof.proof_bytes)
-        inputs = proof.public_inputs
-        pub = [
-            from_le_bytes_mod_order(inputs.pre_state_root, FR_MOD),
-            from_le_bytes_mod_order(inputs.post_state_root, FR_MOD),
-            from_le_bytes_mod_order(inputs.pre_shielded_root, FR_MOD),
-            from_le_bytes_mod_order(inputs.post_shielded_root, FR_MOD),
-            from_le_bytes_mod_order(inputs.withdrawal_root, FR_MOD),
-            from_le_bytes_mod_order(inputs.batch_hash, FR_MOD),
-            inputs.batch_id,
-        ]
-        return groth16_verify(self.pk.vk, p, pub)
+        return groth16_verify(
+            self.pk.vk, p, public_input_values(proof.public_inputs)
+        )
 
     def verification_key_hash(self) -> bytes:
         return self.vk_hash

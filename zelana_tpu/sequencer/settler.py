@@ -34,7 +34,16 @@ def build_submit_batch_header(prev_idx: int, new_idx: int, state_root: bytes,
 
 
 def build_submit_batch_instruction(proof: BatchProof, prev_idx: int) -> bytes:
-    """Full instruction data for the bridge SubmitBatch (settler.rs:159-310)."""
+    """Full instruction data for the bridge SubmitBatch (settler.rs:159-310).
+
+    Public inputs go on the wire as big-endian VALUE serializations
+    (prover_service.batch_inputs_to_solana_bytes): the verifier program
+    passes them raw into the big-endian alt_bn128 syscalls
+    (lib.rs:479-494), so the settler is where the internal LE-parsed root
+    bytes become syscall-convention -- the fix for the reference prover's
+    LE/BE mismatch (settlement/prover.rs:304-334)."""
+    from .prover_service import batch_inputs_to_solana_bytes
+
     inputs = proof.public_inputs
     header = build_submit_batch_header(
         prev_idx, inputs.batch_id, inputs.post_state_root,
@@ -44,14 +53,8 @@ def build_submit_batch_instruction(proof: BatchProof, prev_idx: int) -> bytes:
     data += header
     data += proof.proof_bytes
     # public inputs, verifier ordering (onchain_verifier lib.rs:479-494)
-    data += inputs.pre_state_root
-    data += inputs.post_state_root
-    data += inputs.pre_shielded_root
-    data += inputs.post_shielded_root
-    data += inputs.withdrawal_root
-    data += inputs.batch_hash
-    data += inputs.batch_id.to_bytes(32, "little")  # LE convention, see
-    # sequencer/onchain_verifier.py batch_inputs_to_field_elements
+    for arr in batch_inputs_to_solana_bytes(inputs):
+        data += arr
     return bytes(data)
 
 
