@@ -206,10 +206,15 @@ def test_settler_instruction_format():
     res = settler.submit(proof)
     assert res.signature
     data = settler.submitted[0]
-    assert data[0] == 2  # SubmitBatch discriminator
+    assert data[0] == 3  # SubmitBatch discriminator (BridgeIx::SubmitBatch)
     header = data[1 : 1 + HEADER_SIZE]
-    assert header == build_submit_batch_header(0, 9, b"\x02" * 32, 256, 0)
-    assert len(data) == 1 + HEADER_SIZE + 256 + 7 * 32
+    # header state root = the BE VALUE wire bytes of post_state_root
+    from zelana_tpu.sequencer.prover_service import batch_inputs_to_solana_bytes
+    wire = batch_inputs_to_solana_bytes(inputs)
+    assert header == build_submit_batch_header(0, 9, wire[1], 256, 0)
+    # 200-byte public inputs: 6 roots + u64 LE batch_id
+    assert len(data) == 1 + HEADER_SIZE + 256 + 6 * 32 + 8
+    assert data[-8:] == (9).to_bytes(8, "little")
 
 
 # ------------------------------------------------------------------- API

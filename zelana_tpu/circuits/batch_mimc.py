@@ -183,13 +183,38 @@ class BatchCircuitMiMC:
     max_transfers: int = MAX_TRANSFERS
     max_withdrawals: int = MAX_WITHDRAWALS
     max_shielded: int = MAX_SHIELDED
+    # SMT depth (the Noir circuit fixes 32; smaller depths keep CI-proved
+    # chunk circuits small -- the constraint count is dominated by
+    # depth x MiMC-91 Merkle recomputations)
+    tree_depth: int = TREE_DEPTH
+
+    def _empty_path(self):
+        return [0] * self.tree_depth
 
     def _pad(self):
-        t = list(self.transfers) + [TransferSlot() for _ in range(
+        d = self.tree_depth
+
+        def t_slot():
+            return TransferSlot(
+                sender_path=[0] * d, sender_path_indices=[0] * d,
+                receiver_path=[0] * d, receiver_path_indices=[0] * d,
+            )
+
+        def w_slot():
+            return WithdrawalSlot(
+                sender_path=[0] * d, sender_path_indices=[0] * d,
+            )
+
+        def s_slot():
+            return ShieldedSlot(
+                input_path=[0] * d, input_path_indices=[0] * d,
+            )
+
+        t = list(self.transfers) + [t_slot() for _ in range(
             self.max_transfers - len(self.transfers))]
-        w = list(self.withdrawals) + [WithdrawalSlot() for _ in range(
+        w = list(self.withdrawals) + [w_slot() for _ in range(
             self.max_withdrawals - len(self.withdrawals))]
-        s = list(self.shielded) + [ShieldedSlot() for _ in range(
+        s = list(self.shielded) + [s_slot() for _ in range(
             self.max_shielded - len(self.shielded))]
         return t, w, s
 

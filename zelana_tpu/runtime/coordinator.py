@@ -52,6 +52,7 @@ class ChunkProof:
     proof_bytes: bytes
     public_inputs: List[int]
     proving_time_ms: int
+    public_witness: bytes = b""  # sunspot 236-byte witness blob
 
 
 @dataclass
@@ -96,7 +97,10 @@ class Dispatcher:
     @staticmethod
     def slice_batch(transfers: List[TransferSlot],
                     withdrawals: List[WithdrawalSlot],
-                    shielded: List[ShieldedSlot]) -> List[Chunk]:
+                    shielded: List[ShieldedSlot],
+                    capacity=(MAX_TRANSFERS, MAX_WITHDRAWALS,
+                              MAX_SHIELDED)) -> List[Chunk]:
+        mt, mw, ms = capacity
         chunks = []
         ti = wi = si = 0
         index = 0
@@ -104,16 +108,70 @@ class Dispatcher:
                or si < len(shielded) or index == 0):
             chunk = Chunk(
                 index=index,
-                transfers=transfers[ti : ti + MAX_TRANSFERS],
-                withdrawals=withdrawals[wi : wi + MAX_WITHDRAWALS],
-                shielded=shielded[si : si + MAX_SHIELDED],
+                transfers=transfers[ti : ti + mt],
+                withdrawals=withdrawals[wi : wi + mw],
+                shielded=shielded[si : si + ms],
             )
-            ti += MAX_TRANSFERS
-            wi += MAX_WITHDRAWALS
-            si += MAX_SHIELDED
+            ti += mt
+            wi += mw
+            si += ms
             chunks.append(chunk)
             index += 1
             if ti >= len(transfers) and wi >= len(withdrawals) and si >= len(shielded):
+                break
+        return chunks
+
+    @staticmethod
+    def build_chunks_with_witness(builder, transfers, withdrawals, shielded,
+                                  capacity=(MAX_TRANSFERS, MAX_WITHDRAWALS,
+                                            MAX_SHIELDED),
+                                  pre_shielded_root: int = 0) -> List[Chunk]:
+        """Slice raw tx specs into chunks AND build the slot witnesses with
+        intermediate Merkle paths in one pass (the reference splits this
+        between core's build_witness_with_proofs and the coordinator's
+        dispatcher; here the ChunkWitnessBuilder advances its SMT in the
+        exact circuit order -- per chunk: transfers, then withdrawals, then
+        shielded -- so every slot's path is taken against the right
+        intermediate root and chunk pre/post roots chain for free).
+
+        transfers: [(sender_pk, receiver_pk, amount)],
+        withdrawals: [(sender_pk, l1_recipient, amount)],
+        shielded: [output_commitment] (skip_verification mode).
+        """
+        mt, mw, ms = capacity
+        chunks: List[Chunk] = []
+        ti = wi = si = 0
+        index = 0
+        shielded_root = pre_shielded_root
+        from .chunk_witness import fold_shielded_root
+
+        while (ti < len(transfers) or wi < len(withdrawals)
+               or si < len(shielded) or index == 0):
+            pre_state = builder.root()
+            t_slots = [builder.transfer_slot(*t)
+                       for t in transfers[ti:ti + mt]]
+            w_slots = [builder.withdrawal_slot(*w)
+                       for w in withdrawals[wi:wi + mw]]
+            s_slots = [builder.shielded_slot_skip(cm)
+                       for cm in shielded[si:si + ms]]
+            post_shielded = fold_shielded_root(shielded_root, s_slots)
+            chunks.append(Chunk(
+                index=index,
+                transfers=t_slots,
+                withdrawals=w_slots,
+                shielded=s_slots,
+                pre_state_root=pre_state,
+                post_state_root=builder.root(),
+                pre_shielded_root=shielded_root,
+                post_shielded_root=post_shielded,
+            ))
+            shielded_root = post_shielded
+            ti += mt
+            wi += mw
+            si += ms
+            index += 1
+            if (ti >= len(transfers) and wi >= len(withdrawals)
+                    and si >= len(shielded)):
                 break
         return chunks
 

@@ -39,9 +39,15 @@ def _unhex(s: str, n: int = 32) -> bytes:
 
 
 class ApiState:
-    def __init__(self, orchestrator: PipelineOrchestrator):
+    def __init__(self, orchestrator: PipelineOrchestrator, dispatcher=None,
+                 chunk_capacity=(8, 4, 4), chunk_depth: int = 32):
         self.orch = orchestrator
         self.prove_jobs: Dict[str, dict] = {}
+        # distributed chunk-proving plane (runtime/coordinator.Dispatcher
+        # with a real chunk prover); None = pipeline-only prove jobs
+        self.dispatcher = dispatcher
+        self.chunk_capacity = chunk_capacity
+        self.chunk_depth = chunk_depth
 
 
 def create_handler(state: ApiState):
@@ -64,6 +70,31 @@ def create_handler(state: ApiState):
             if not length:
                 return {}
             return json.loads(self.rfile.read(length))
+
+        def _sse_status(self, job_id: str):
+            """SSE status stream (core_api.rs:374-380's SSE leg): emits a
+            `status` event on every change until the job is terminal."""
+            import time as _time
+
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            last = None
+            deadline = _time.time() + 300.0
+            while _time.time() < deadline:
+                job = state.prove_jobs.get(job_id)
+                status = job["status"] if job else "unknown"
+                if status != last:
+                    payload = json.dumps({"status": status})
+                    self.wfile.write(
+                        f"event: status\ndata: {payload}\n\n".encode())
+                    self.wfile.flush()
+                    last = status
+                if status in ("done", "unknown") or status.startswith(
+                        "failed"):
+                    return
+                _time.sleep(0.05)
 
         # -- GET routes ---------------------------------------------------
 
@@ -131,13 +162,20 @@ def create_handler(state: ApiState):
                             for m in orch.committee.members
                         ],
                     })
-                if len(parts) == 3 and parts[0] == "v2" and parts[2] == "status":
-                    job = state.prove_jobs.get(parts[1])
+                if (len(parts) == 4 and parts[0] == "v2"
+                        and parts[1] == "batch" and parts[3] == "status"):
+                    job = state.prove_jobs.get(parts[2])
                     if job is None:
                         return self._json(404, {"error": "unknown job"})
+                    query = urlparse(self.path).query
+                    if ("stream" in query
+                            or "text/event-stream" in
+                            (self.headers.get("Accept") or "")):
+                        return self._sse_status(parts[2])
                     return self._json(200, {"status": job["status"]})
-                if len(parts) == 3 and parts[0] == "v2" and parts[2] == "proof":
-                    job = state.prove_jobs.get(parts[1])
+                if (len(parts) == 4 and parts[0] == "v2"
+                        and parts[1] == "batch" and parts[3] == "proof"):
+                    job = state.prove_jobs.get(parts[2])
                     if job is None or job["status"] != "done":
                         return self._json(404, {"error": "not ready"})
                     return self._json(200, job["result"])
@@ -327,6 +365,79 @@ def create_handler(state: ApiState):
                 if path == "/admin/resume":
                     orch.resume()
                     return self._json(200, {"paused": False})
+                if path == "/v2/batch/prove" and state.dispatcher is not None \
+                        and "transfers" in body:
+                    # coordinator-shaped request (CoreBatchProveRequest,
+                    # core_api.rs:40-58): raw txs + initial accounts; the
+                    # server builds chunk witnesses with intermediate SMT
+                    # paths, chains roots, and dispatches REAL chunk proofs
+                    from ..runtime.chunk_witness import ChunkWitnessBuilder
+                    from ..runtime.coordinator import Dispatcher
+
+                    builder = ChunkWitnessBuilder(state.chunk_depth)
+                    for acct in body.get("accounts", []):
+                        builder.fund(int(acct["pk"]), int(acct["balance"]),
+                                     int(acct.get("nonce", 0)))
+                    chunks = Dispatcher.build_chunks_with_witness(
+                        builder,
+                        [tuple(int(x) for x in t)
+                         for t in body.get("transfers", [])],
+                        [tuple(int(x) for x in w)
+                         for w in body.get("withdrawals", [])],
+                        [int(c) for c in body.get("shielded_commitments",
+                                                  [])],
+                        capacity=state.chunk_capacity,
+                        pre_shielded_root=int(
+                            body.get("pre_shielded_root", 0)),
+                    )
+                    batch_id = int(body.get("batch_id", 1))
+                    job_id = state.dispatcher.submit_job(chunks, batch_id)
+                    state.prove_jobs[job_id] = {"status": "running",
+                                                "result": None}
+
+                    def watch(job_id=job_id, chunks=chunks):
+                        import time as _time
+
+                        while True:
+                            st = state.dispatcher.status(job_id)
+                            if st == "done":
+                                proofs = state.dispatcher.proofs(job_id)
+                                state.prove_jobs[job_id] = {
+                                    "status": "done",
+                                    "result": {
+                                        "batch_id": batch_id,
+                                        "pre_state_root": chunks[0].pre_state_root,
+                                        "post_state_root": chunks[-1].post_state_root,
+                                        "chunks": [
+                                            {
+                                                "index": p.chunk_index,
+                                                "proof": p.proof_bytes.hex(),
+                                                "public_witness":
+                                                    p.public_witness.hex(),
+                                                "public_inputs": [
+                                                    str(v) for v in
+                                                    p.public_inputs
+                                                ],
+                                                "proving_time_ms":
+                                                    p.proving_time_ms,
+                                            }
+                                            for p in proofs
+                                        ],
+                                    },
+                                }
+                                return
+                            if st in ("failed", "cancelled", None):
+                                job = state.dispatcher.jobs.get(job_id)
+                                err = job.error if job else "unknown"
+                                state.prove_jobs[job_id] = {
+                                    "status": f"failed: {err}",
+                                    "result": None,
+                                }
+                                return
+                            _time.sleep(0.05)
+
+                    threading.Thread(target=watch, daemon=True).start()
+                    return self._json(200, {"job_id": job_id})
                 if path == "/v2/batch/prove":
                     job_id = uuid.uuid4().hex[:16]
                     state.prove_jobs[job_id] = {"status": "running",
@@ -362,9 +473,15 @@ def create_handler(state: ApiState):
     return Handler
 
 
-def start_api(orchestrator: PipelineOrchestrator, port: int = 0):
-    """Returns (server, actual_port); serve_forever runs on a daemon thread."""
-    state = ApiState(orchestrator)
+def start_api(orchestrator: PipelineOrchestrator, port: int = 0,
+              dispatcher=None, chunk_capacity=(8, 4, 4),
+              chunk_depth: int = 32):
+    """Returns (server, actual_port); serve_forever runs on a daemon thread.
+
+    Pass a runtime.coordinator.Dispatcher (with a real chunk prover) to
+    enable the coordinator-shaped chunked /v2/batch/prove flow."""
+    state = ApiState(orchestrator, dispatcher=dispatcher,
+                     chunk_capacity=chunk_capacity, chunk_depth=chunk_depth)
     server = ThreadingHTTPServer(("127.0.0.1", port), create_handler(state))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()

@@ -51,6 +51,7 @@ class BatchProof:
 class BatchWitness:
     transactions: List[object] = field(default_factory=list)
     initial_accounts: dict = field(default_factory=dict)  # pk bytes -> balance
+    shielded_commitments: List[bytes] = field(default_factory=list)
 
 
 def compute_batch_hash(transactions) -> bytes:
@@ -204,7 +205,7 @@ class Groth16Prover:
             batch_id=inputs.batch_id,
             transactions=txs,
             initial_accounts=dict(witness.initial_accounts),
-            shielded_commitments=[],
+            shielded_commitments=list(witness.shielded_commitments),
             withdrawals=wds,
         )
 
@@ -255,6 +256,9 @@ def build_witness(batch, get_account) -> BatchWitness:
         elif isinstance(tx, Withdraw):
             if tx.from_ not in initial:
                 initial[tx.from_] = get_account(tx.from_).balance
+    cms = [tx.commitment for tx in batch.transactions
+           if isinstance(tx, Shielded)]
     return BatchWitness(
-        transactions=list(batch.transactions), initial_accounts=initial
+        transactions=list(batch.transactions), initial_accounts=initial,
+        shielded_commitments=cms,
     )
