@@ -1,0 +1,105 @@
+// Native schedule builder for the run-scan MSM (ops/msm_scan.py).
+//
+// Replaces the numpy build_schedule hot path: counting sort of the
+// (window, digit) keys (stable, one pass), column-major lane layout with
+// run flags, emit-position accounting, and the K-layer dense bucket
+// placement -- all in one sweep over the sorted stream. ~5-10x the numpy
+// builder at 2^16 x 32 window digits, which matters because the host
+// schedule must hide under the device scan + upload in the pipelined
+// steady state (docs/DEVNOTES.md link numbers).
+//
+// Layout contract (must match msm_scan.Schedule):
+//   perm[(r, l)]      uint16 point id; bit 15 = run flag when fold_bit15
+//   flag_bits[(r, w)] uint32 bitmap, bit (l % 32) of word l / 32
+//   dense_idx[k, key] int32 emit position of the k-th partial of bucket
+//                     `key` (= w * 256 + digit); 0 = the identity slot
+//   flush row R: all flags set, pid 0
+//
+// Build: g++ -O3 -shared -fPIC -o libzelana_sched.so scan_sched.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+using i32 = int32_t;
+using i64 = int64_t;
+using u16 = uint16_t;
+using u32 = uint32_t;
+
+extern "C" int zelana_build_scan_schedule(
+    const i32* digits,  // (w, n) row-major window digits
+    i32 w, i32 n, i32 lanes, i32 R, i32 fold_bit15,
+    u16* perm,       // (R+1) * lanes, caller-allocated
+    u32* flag_bits,  // (R+1) * (lanes / 32), caller-zeroed
+    i32* dense_idx,  // kmax * (w * 256), caller-zeroed
+    i32 kmax,
+    i64* meta)  // out: meta[0] = K (layers used)
+{
+    const i32 NB = 256;
+    const i32 nbuckets = w * NB;
+    const i64 nw = (i64)w * n;
+    const i64 total = (i64)R * lanes;
+    if (total < nw || lanes % 32 != 0) return 1;
+
+    // counting sort by key (stable: iterate stream in original order)
+    std::vector<i64> offset(nbuckets + 1, 0);
+    for (i32 wi = 0; wi < w; ++wi) {
+        const i32* row = digits + (i64)wi * n;
+        const i32 base = wi * NB;
+        for (i32 i = 0; i < n; ++i) offset[base + row[i] + 1]++;
+    }
+    for (i32 k = 0; k < nbuckets; ++k) offset[k + 1] += offset[k];
+
+    std::vector<i32> spid(total);
+    std::vector<u16> skey(total);
+    for (i64 s = nw; s < total; ++s) {  // sentinel padding
+        spid[s] = 0;
+        skey[s] = 0xFFFF;
+    }
+    std::vector<i64> cursor(offset.begin(), offset.end() - 1);
+    for (i32 wi = 0; wi < w; ++wi) {
+        const i32* row = digits + (i64)wi * n;
+        const i32 base = wi * NB;
+        for (i32 i = 0; i < n; ++i) {
+            i64 pos = cursor[base + row[i]]++;
+            spid[pos] = i;
+            skey[pos] = (u16)(base + row[i]);
+        }
+    }
+
+    // lane sweep: perm + flags + emit accounting + dense layering.
+    // stream position of (row r, lane l) is l*R + r (column-major).
+    std::vector<i32> occ(nbuckets, 0);
+    i32 K = 1;
+    const i32 words = lanes / 32;
+    const u16 fbit = fold_bit15 ? 0x8000 : 0;
+    for (i32 l = 0; l < lanes; ++l) {
+        u16 prev = 0;
+        for (i32 r = 0; r < R; ++r) {
+            u16 k = skey[(i64)l * R + r];
+            bool flag = (r == 0) || (k != prev);
+            if (flag && r > 0 && prev != 0xFFFF && (prev & 0xFF) != 0) {
+                i32 o = occ[prev]++;
+                if (o >= kmax) return 2;
+                if (o + 1 > K) K = o + 1;
+                dense_idx[(i64)o * nbuckets + prev] = (i32)((i64)r * lanes + l);
+            }
+            perm[(i64)r * lanes + l] =
+                (u16)(spid[(i64)l * R + r] | (flag ? fbit : 0));
+            if (flag)
+                flag_bits[(i64)r * words + l / 32] |= (u32)1 << (l % 32);
+            prev = k;
+        }
+        // flush row R emits the run ending at R-1
+        if (prev != 0xFFFF && (prev & 0xFF) != 0) {
+            i32 o = occ[prev]++;
+            if (o >= kmax) return 2;
+            if (o + 1 > K) K = o + 1;
+            dense_idx[(i64)o * nbuckets + prev] = (i32)((i64)R * lanes + l);
+        }
+        perm[(i64)R * lanes + l] = fbit;
+        flag_bits[(i64)R * words + l / 32] |= (u32)1 << (l % 32);
+    }
+    meta[0] = K;
+    return 0;
+}

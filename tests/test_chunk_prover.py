@@ -233,3 +233,82 @@ def test_real_chunk_proofs_end_to_end():
         res = settler.submit_sunspot(
             NoirProofData(cp.proof_bytes, cp.public_witness))
         assert res.signature
+
+
+def test_ownership_prove_api_and_delegated_verification():
+    """Synchronous /v2/ownership/prove (ownership_api.rs:1-45): server-side
+    witness -> real Groth16 ownership proof -> verified in the delegated
+    shielded flow (closing handlers.rs:352-353's TODO)."""
+    import urllib.error
+
+    from zelana_tpu.hashes import mimc
+    from zelana_tpu.runtime.ownership_api import OwnershipProver
+    from zelana_tpu.sequencer.api import start_api
+    from zelana_tpu.sequencer.pipeline import PipelineOrchestrator
+
+    prover = OwnershipProver()
+    orch = PipelineOrchestrator()
+    server, port = start_api(orch, ownership_prover=prover)
+    try:
+        sk, value, blinding, position = 12345, 777, 999, 5
+        pk_val = mimc.derive_public_key(sk)
+        cm = mimc.compute_commitment(pk_val, value, blinding)
+        nf = mimc.compute_nullifier(sk, cm, position)
+        bp = mimc.compute_blinded_proxy(cm, position)
+
+        body = json.dumps({
+            "spending_key": sk, "value": value, "blinding": blinding,
+            "position": position, "commitment": str(cm),
+            "nullifier": str(nf), "blinded_proxy": str(bp),
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v2/ownership/prove", data=body,
+            headers={"Content-Type": "application/json"})
+        result = json.loads(urllib.request.urlopen(req).read())
+        proof_hex = result["proof"]
+        assert len(bytes.fromhex(proof_hex)) == 388
+        assert [int(v) for v in result["public_inputs"]] == [
+            int(cm), int(nf), int(bp)]
+
+        # wrong expected commitment -> 400
+        bad = json.loads(json.dumps({
+            "spending_key": sk, "value": value, "blinding": blinding,
+            "position": position, "commitment": str(int(cm) + 1),
+        }))
+        breq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v2/ownership/prove",
+            data=json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(breq)
+
+        # delegated flow verifies the REAL proof
+        dreq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/shielded/delegated",
+            data=json.dumps({
+                "proof": proof_hex,
+                "ownership_public_inputs": result["public_inputs"],
+                "nullifier": int(nf).to_bytes(32, "big").hex(),
+                "commitment": int(cm).to_bytes(32, "big").hex(),
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = json.loads(urllib.request.urlopen(dreq).read())
+        assert resp["accepted"]
+
+        # tampered proof rejected
+        tampered = bytearray(bytes.fromhex(proof_hex))
+        tampered[5] ^= 1
+        treq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/shielded/delegated",
+            data=json.dumps({
+                "proof": bytes(tampered).hex(),
+                "ownership_public_inputs": result["public_inputs"],
+                "nullifier": int(nf).to_bytes(32, "big").hex(),
+                "commitment": int(cm + 1).to_bytes(32, "big").hex(),
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+    finally:
+        server.shutdown()
+    # verify() on the tampered bytes fails directly (server closed above)
+    assert not prover.verify(bytes(tampered),
+                             [int(v) for v in result["public_inputs"]])

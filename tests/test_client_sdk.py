@@ -147,3 +147,21 @@ def test_client_prove_job_api(stack):
     assert client.api.prove_status(job) == "done"
     proof = client.api.fetch_proof(job)
     assert proof["proof"] is not None and len(proof["proof"]) == 512
+
+
+def test_client_sse_stream_and_format_autodetect(stack):
+    """SSE status streaming + proof-format autodetect on the client
+    (noir_client.rs SSE leg + settler.rs:543 is_noir_proof)."""
+    from zelana_tpu.sdk.client import ApiClient, ZelanaClient
+
+    _, port = stack
+    client = ZelanaClient(f"http://127.0.0.1:{port}", keypair=ALICE_KP)
+    client.dev_deposit(50)
+    client_api = ApiClient(f"http://127.0.0.1:{port}")
+    job = client_api.prove_batch()
+    statuses = list(client_api.stream_status(job, timeout=20))
+    assert statuses[-1] == "done"
+    assert client_api.detect_proof_format(b"\x00" * 388) == "noir"
+    assert client_api.detect_proof_format(b"\x00" * 624) == "noir"
+    assert client_api.detect_proof_format(b"\x00" * 256) == "groth16"
+    assert client_api.detect_proof_format(b"\x00" * 10) == "unknown"

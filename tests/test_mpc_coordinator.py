@@ -62,3 +62,68 @@ def test_dispatcher_job_lifecycle():
     assert all(len(p.proof_bytes) == 388 for p in proofs)  # sunspot size
     assert d.expire(max_age_secs=0) == 1
     assert d.status(job_id) is None
+
+
+def test_prover_node_swarm_over_http():
+    """Blind MPC node service (prover-node/src/main.rs): a 3-of-5 swarm
+    proves a Schnorr statement over real HTTP without any node seeing the
+    secret; replay of a session share is rejected; fragment before
+    commitment is rejected."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from zelana_tpu.runtime.prover_node import (
+        NodeNetworkCoordinator,
+        start_prover_node,
+    )
+
+    servers = []
+    urls = []
+    try:
+        for i in range(5):
+            server, port, _ = start_prover_node(i + 1)
+            servers.append(server)
+            urls.append(f"http://127.0.0.1:{port}")
+
+        coord = NodeNetworkCoordinator(urls)
+        secret = 0xDEADBEEFCAFE
+        message = b"zelana swarm proof"
+        proof, pk = coord.prove(secret, message, k=3, session_id="s1")
+        assert proof.verify(pk, message)
+        assert not proof.verify(pk, b"other message")
+
+        # replayed share assignment for the same session is rejected
+        body = json.dumps({
+            "session_id": "s1", "circuit": "schnorr", "index": 1,
+            "share_value": "01",
+        }).encode()
+        req = urllib.request.Request(
+            urls[0] + "/share", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+
+        # fragment without a prior commitment is rejected
+        freq = urllib.request.Request(
+            urls[4] + "/fragment",
+            data=json.dumps({"session_id": "s1", "challenge": "02",
+                             "lagrange": "01"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(freq)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+
+        # health reports the assigned session
+        h = json.loads(urllib.request.urlopen(urls[0] + "/health").read())
+        assert h["sessions"] == 1
+    finally:
+        for s in servers:
+            s.shutdown()

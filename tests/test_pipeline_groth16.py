@@ -27,7 +27,7 @@ def test_pipeline_with_real_groth16_prover():
     )
     from zelana_tpu.sequencer.prover_service import Groth16Prover
     from zelana_tpu.sequencer.settler import OnchainVerifyingSettler
-    from zelana_tpu.sequencer.transactions import Deposit, Transfer
+    from zelana_tpu.sequencer.transactions import Deposit, Shielded, Transfer
 
     alice_seed, bob_seed = b"\x01" * 32, b"\x02" * 32
     _, _, alice = crypto.secret_to_keypair(alice_seed)
@@ -36,6 +36,7 @@ def test_pipeline_with_real_groth16_prover():
     # keys for the 2-account/1-transfer circuit shape the batch produces:
     # keygen fixes the circuit STRUCTURE (accounts+txs counts), so generate
     # for the same shape as the batch below
+    commitment = b"\x5a" * 32
     shape_circuit = L2BlockCircuit(
         batch_id=0,
         transactions=[
@@ -43,6 +44,7 @@ def test_pipeline_with_real_groth16_prover():
             .TransactionWitness(alice, bob, 250)
         ],
         initial_accounts={alice: 1000, bob: 0},
+        shielded_commitments=[commitment],
     )
     pk = keygen(shape_circuit, seed=0)
 
@@ -75,12 +77,26 @@ def test_pipeline_with_real_groth16_prover():
     tx = Transfer(signer_pubkey=alice, to=bob, amount=250, nonce=0)
     tx.signature = crypto.sign(alice_seed, tx.signing_message())
     assert orch.submit(tx).accepted
+    # a shielded commitment rides the same proven batch: the circuit folds
+    # it into post_shielded_root (the pre==post shortcut is gone)
+    sh = Shielded(proof=b"\x00" * 324, nullifier=b"\x7b" * 32,
+                  commitment=commitment)
+    assert orch.submit(sh).accepted
     batch = orch.seal()
     assert batch is not None and batch.id == 0
 
-    orch.tick()  # prove (real Groth16)
+    import time as _time
+    deadline = _time.time() + 1800
+    while _time.time() < deadline:
+        orch.tick()
+        if batch.proof is not None or batch.error:
+            break
+        _time.sleep(0.2)
     assert batch.proof is not None, batch.error
     assert len(batch.proof.proof_bytes) == 256
+    # the proven shielded root CHANGED (commitment folded on-proof)
+    pi = batch.proof.public_inputs
+    assert pi.post_shielded_root != pi.pre_shielded_root
     orch.tick()  # settle through the on-chain verifier gate
     assert batch.settlement_sig is not None
     assert orch.get_account(bob).balance == 250

@@ -44,3 +44,63 @@ def test_sharded_msm_matches_golden():
     jac = sharded_msm(coords, digits, mesh, curve="g1")
     got = M._jac_to_affine_host(jac, fq2=False)
     assert got == G1.msm(pts, scalars)
+
+
+# ------------------------------------------------------------------
+# round-2 sharded paths: butterfly NTT + run-scan MSM at real sizes
+# ------------------------------------------------------------------
+
+
+def test_sharded_butterfly_ntt_matches_single_device():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zelana_tpu.ops import limbs as L
+    from zelana_tpu.ops import ntt as NTT
+    from zelana_tpu.parallel.sharded import make_mesh, sharded_intt, sharded_ntt
+
+    mesh = make_mesh(8)
+    n = 1 << 12
+    rng = np.random.default_rng(3)
+    vals = [int(x) for x in rng.integers(0, 1 << 62, size=n)]
+    x = jnp.asarray(L.encode_mont(vals, L.FR))
+    plan = NTT.make_plan(n)
+
+    want = np.asarray(NTT.ntt(x, plan))
+    got = np.asarray(sharded_ntt(x, plan, mesh))
+    assert (got == want).all()
+
+    # inverse round-trips through the sharded path too
+    back = np.asarray(sharded_intt(jnp.asarray(got), plan, mesh))
+    assert (back == np.asarray(x)).all()
+
+
+def test_sharded_msm_scan_2e16():
+    """Point-sharded run-scan MSM at 2^16 points on the 8-device mesh,
+    verified against a closed-form expectation (points are small multiples
+    of the generator, so the MSM collapses to ONE scalar multiplication)."""
+    import random
+
+    from zelana_tpu.curves import g1 as G1
+    from zelana_tpu.fields.bn254 import R as FR
+    from zelana_tpu.parallel.sharded import make_mesh, sharded_msm_scan
+
+    mesh = make_mesh(8)
+    n = 1 << 16
+    g = G1.generator()
+    base = []
+    acc = g
+    for _ in range(64):
+        base.append(acc)
+        acc = G1.add(acc, g)
+    pts = [base[i % 64] for i in range(n)]
+    rng = random.Random(99)
+    scalars = [rng.randrange(FR) for _ in range(n)]
+
+    expected_scalar = sum(
+        s * (1 + (i % 64)) for i, s in enumerate(scalars)
+    ) % FR
+    expected = G1.mul(g, expected_scalar)
+
+    got = sharded_msm_scan(pts, scalars, mesh)
+    assert got == expected

@@ -85,3 +85,39 @@ def test_onchain_verifier_gate_end_to_end():
     )
     bad = BatchProof(bad_inputs, bp.proof_bytes, 1)
     assert not verify_batch_proof(pk.vk, bad)
+
+
+def test_snarkjs_vk_export():
+    import base64
+
+    raw = base64.b64decode(json.load(open(REF_VK))["verifying_key"])
+    vk = VerifyingKey.deserialize_compressed(raw)
+    from zelana_tpu.groth16.solana_vk import export_vk_snarkjs
+
+    out = export_vk_snarkjs(vk)
+    assert out["protocol"] == "groth16" and out["curve"] == "bn128"
+    assert out["nPublic"] == 2
+    assert len(out["IC"]) == 3
+    assert out["vk_alpha_1"][0] == str(vk.alpha_g1[0])
+    assert out["vk_alpha_1"][2] == "1"
+    # G2 pairs are imaginary-first (snarkjs.rs fq2_to_pair_snarkjs)
+    assert out["vk_beta_2"][0][0] == str(vk.beta_g2[0][1])
+    assert out["vk_beta_2"][0][1] == str(vk.beta_g2[0][0])
+
+
+def test_block_header_zlna_roundtrip():
+    from zelana_tpu.sdk.block import (
+        HEADER_MAGIC,
+        HEADER_SIZE,
+        BlockHeader,
+    )
+
+    h = BlockHeader(batch_id=7, prev_root=b"\x01" * 32,
+                    new_root=b"\x02" * 32, tx_count=3, open_at=123456,
+                    flags=1)
+    data = h.to_bytes()
+    assert len(data) == HEADER_SIZE
+    assert data[:4] == HEADER_MAGIC == b"ZLNA"
+    assert BlockHeader.from_bytes(data) == h
+    g = BlockHeader.genesis()
+    assert BlockHeader.from_bytes(g.to_bytes()) == g

@@ -7,7 +7,7 @@ loop at core/src/sequencer/settlement/prover.rs:408):
   2. witness map: evaluate A.z, B.z, C.z over the domain, iFFT to coeffs,
      coset-FFT, pointwise (A.z * B.z - C.z) / Z on the coset, coset-iFFT
      -> h(x) coefficients            [TPU NTT kernels, ops/ntt.py]
-  3. five MSMs over the proving-key queries                [TPU, ops/msm.py]
+  3. five MSMs over the proving-key queries      [TPU, ops/msm_scan.py]
   4. final assembly A = alpha + <a,z> + r*delta, B = beta + <b,z> + s*delta,
      C = <l,w> + <h_query,h> + s*A + r*B - rs*delta        (host, tiny)
 
@@ -26,7 +26,7 @@ from ..curves import g1 as G1, g2 as G2
 from ..fields.bn254 import R as FR
 from ..ops import limbs as L
 from ..ops import ntt as NTT
-from ..ops import msm_fast as MSM
+from ..ops import msm_scan as MSM
 from .keys import Proof, ProvingKey
 from .qap import matrix_vector_evals
 from .stdrng import StdRng, rand_fp
@@ -71,20 +71,69 @@ def witness_map_device(A, B, C, z, num_instance):
     return witness_map_collect(*witness_map_dispatch(A, B, C, z, num_instance))
 
 
+def _mesh_or_none():
+    """Multi-chip: shard the MSMs over the device mesh when the runtime has
+    more than one accelerator (SURVEY 2.7's intra-prove parallelism axis).
+
+    On the virtual CPU mesh (tests/CI emulate 8 devices on one host) the
+    mesh adds compile/dispatch overhead with no parallelism, so the CPU
+    backend requires the explicit ZELANA_SHARDED_PROVE=1 opt-in -- the
+    driver's dryrun_multichip sets it to validate the production
+    prove-through-mesh path."""
+    import os
+
+    import jax
+
+    if len(jax.devices()) <= 1:
+        return None
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("ZELANA_SHARDED_PROVE") != "1"):
+        return None
+    from ..parallel.sharded import make_mesh
+
+    return make_mesh()
+
+
 def _prepared_queries(pk: ProvingKey):
     """Device-resident query points, converted once per proving key (the
-    query bases are fixed across proves; only the scalars change)."""
+    query bases are fixed across proves; only the scalars change). On a
+    multi-device mesh the query bases are point-sharded instead."""
     cached = getattr(pk, "_prepared_queries", None)
     if cached is None:
-        cached = {
-            "a": MSM.prepare_g1(pk.a_query),
-            "b1": MSM.prepare_g1(pk.b_g1_query),
-            "b2": MSM.prepare_g2(pk.b_g2_query),
-            "l": MSM.prepare_g1(pk.l_query),
-            "h": MSM.prepare_g1(pk.h_query),
-        }
+        mesh = _mesh_or_none()
+        if mesh is not None:
+            from ..parallel.sharded import (
+                prepare_g1_sharded,
+                prepare_g2_sharded,
+            )
+
+            cached = {
+                "mesh": mesh,
+                "a": prepare_g1_sharded(pk.a_query, mesh),
+                "b1": prepare_g1_sharded(pk.b_g1_query, mesh),
+                "b2": prepare_g2_sharded(pk.b_g2_query, mesh),
+                "l": prepare_g1_sharded(pk.l_query, mesh),
+                "h": prepare_g1_sharded(pk.h_query, mesh),
+            }
+        else:
+            cached = {
+                "mesh": None,
+                "a": MSM.prepare_g1(pk.a_query),
+                "b1": MSM.prepare_g1(pk.b_g1_query),
+                "b2": MSM.prepare_g2(pk.b_g2_query),
+                "l": MSM.prepare_g1(pk.l_query),
+                "h": MSM.prepare_g1(pk.h_query),
+            }
         object.__setattr__(pk, "_prepared_queries", cached)
     return cached
+
+
+def _msm_begin(q, key, scalars, curve, digits=None):
+    if q["mesh"] is not None:
+        from ..parallel.sharded import msm_begin_sharded
+
+        return msm_begin_sharded(q[key], scalars, q["mesh"], digits=digits)
+    return MSM.msm_begin(q[key], scalars, curve, digits=digits)
 
 
 def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
@@ -112,13 +161,13 @@ def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
     h_dev, m = witness_map_dispatch(A, B, C, z, num_instance)
     q = _prepared_queries(pk)
     digits_z = MSM.scalar_digits(z)
-    t_a = MSM.msm_begin(q["a"], z, "g1", digits=digits_z)
-    t_b1 = MSM.msm_begin(q["b1"], z, "g1", digits=digits_z)
+    t_a = _msm_begin(q, "a", z, "g1", digits=digits_z)
+    t_b1 = _msm_begin(q, "b1", z, "g1", digits=digits_z)
     h = witness_map_collect(h_dev, m)
-    t_h = MSM.msm_begin(q["h"], h, "g1")
-    t_b2 = MSM.msm_begin(q["b2"], z, "g2", digits=digits_z)
-    t_l = MSM.msm_begin(q["l"], z[num_instance:], "g1",
-                        digits=digits_z[:, num_instance:])
+    t_h = _msm_begin(q, "h", h, "g1")
+    t_b2 = _msm_begin(q, "b2", z, "g2", digits=digits_z)
+    t_l = _msm_begin(q, "l", z[num_instance:], "g1",
+                     digits=digits_z[:, num_instance:])
     g_a_sum = MSM.msm_end(t_a)
     g_b1_sum = MSM.msm_end(t_b1)
     h_sum = MSM.msm_end(t_h)

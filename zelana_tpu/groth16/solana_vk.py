@@ -136,3 +136,41 @@ def upload_plan(svk: SolanaVk, domain: bytes = b"\x00" * 32,
         )
     plan.append({"instruction": "finalize_batch_vk"})
     return plan
+
+
+# ---------------------------------------------------------------------------
+# snarkjs-style VK export (prover/src/snarkjs.rs:113-137)
+# ---------------------------------------------------------------------------
+
+
+def export_vk_snarkjs(vk: VerifyingKey) -> dict:
+    """snarkjs-compatible VK JSON: decimal coordinate strings, G1 as
+    [x, y, "1"], G2 as [[c1, c0], ...] pairs with the imaginary part first
+    (snarkjs.rs fq2_to_pair_snarkjs), omitting vk_alphabeta_12 exactly as
+    the reference does."""
+
+    def g1(pt):
+        if pt is None:
+            return ["0", "1", "0"]
+        return [str(int(pt[0])), str(int(pt[1])), "1"]
+
+    def g2(pt):
+        if pt is None:
+            return [["0", "0"], ["1", "0"], ["0", "0"]]
+        (x0, x1), (y0, y1) = pt
+        return [
+            [str(int(x1)), str(int(x0))],
+            [str(int(y1)), str(int(y0))],
+            ["1", "0"],
+        ]
+
+    return {
+        "protocol": "groth16",
+        "curve": "bn128",
+        "nPublic": len(vk.gamma_abc_g1) - 1,
+        "vk_alpha_1": g1(vk.alpha_g1),
+        "vk_beta_2": g2(vk.beta_g2),
+        "vk_gamma_2": g2(vk.gamma_g2),
+        "vk_delta_2": g2(vk.delta_g2),
+        "IC": [g1(p) for p in vk.gamma_abc_g1],
+    }

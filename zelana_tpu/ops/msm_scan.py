@@ -73,8 +73,8 @@ def _round_pow2(x: int, lo: int = 1) -> int:
 
 @dataclass
 class Schedule:
-    perm: np.ndarray  # (R+1, L) uint16: point id | flag << 15 (n <= 2^15)
-    perm_hi: np.ndarray | None  # (R+1, L) uint8 extra id bits for n > 2^15
+    perm: np.ndarray  # (R+1, L) uint16 point ids (flag in bit 15 if n<=2^15)
+    flag_bits: np.ndarray | None  # (R+1, L/32) uint32 bitmap for n > 2^15
     dense_idx: np.ndarray  # (K, W * 256) int32 emit-buffer positions
     R: int
     K: int
@@ -82,40 +82,63 @@ class Schedule:
 
 
 def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
-    """digits: (W, N) int32 window digits (zeros included)."""
+    """digits: (W, N) int32 window digits (zeros included).
+
+    Upload budget is the design constraint (docs/DEVNOTES.md link numbers):
+    ~2 bytes per stream element -- uint16 point ids with the run flag in
+    bit 15 when ids fit 15 bits, else a separate 1-bit/element bitmap.
+
+    Dispatches to the native C++ builder (csrc/scan_sched.cpp, ~5-10x);
+    the numpy implementation below is the fallback. Layering order of
+    same-bucket partials may differ between the two -- algebraically
+    irrelevant (bucket sums commute)."""
     w, n = digits.shape
     nw = w * n
+    lanes0 = min(lanes, _round_pow2(max(nw // 8, 128), 128))
+    R0 = -(-nw // lanes0)
+    fold = n <= (1 << 15)
+    from . import sched_native
+
+    native = sched_native.build_schedule_arrays(digits, lanes0, R0, fold)
+    if native is not None:
+        perm, flag_bits, dense, K = native
+        Kp = _round_pow2(K)
+        return Schedule(perm=perm, flag_bits=None if fold else flag_bits,
+                        dense_idx=np.ascontiguousarray(dense[:Kp]), R=R0,
+                        K=Kp, n_points=n)
+
     keys = (
         np.arange(w, dtype=np.int32)[:, None] * N_BUCKETS + digits
-    ).reshape(-1).astype(np.uint16)
-    order = np.argsort(keys, kind="stable")
-    skeys = keys[order].astype(np.int64)
-    spid = (order % np.int64(n)).astype(np.int64)
+    ).astype(np.uint16).reshape(-1)
+    order = np.argsort(keys, kind="stable").astype(np.int32)
+    skeys = keys[order]
+    spid = order % np.int32(n)
 
     lanes = min(lanes, _round_pow2(max(nw // 8, 128), 128))
     R = -(-nw // lanes)
     pad = R * lanes - nw
-    SENT = w * N_BUCKETS  # sorts after every real key
+    SENT = np.uint16(0xFFFF)  # > every real key (w*256+d < 2^13+...)
     if pad:
-        skeys = np.concatenate([skeys, np.full(pad, SENT, np.int64)])
-        spid = np.concatenate([spid, np.zeros(pad, np.int64)])
+        skeys = np.concatenate([skeys, np.full(pad, SENT, np.uint16)])
+        spid = np.concatenate([spid, np.zeros(pad, np.int32)])
 
     # column-major: lane l processes stream slice [l*R, (l+1)*R)
-    keys_col = np.ascontiguousarray(skeys.reshape(lanes, R).T)  # (R, L)
-    pid_col = np.ascontiguousarray(spid.reshape(lanes, R).T)
+    keys_col = skeys.reshape(lanes, R).T  # (R, L) view
+    pid_col = spid.reshape(lanes, R).T
     flags = np.ones((R, lanes), bool)
-    flags[1:] = keys_col[1:] != keys_col[:-1]
+    np.not_equal(keys_col[1:], keys_col[:-1], out=flags[1:])
 
     # emit accounting: the run ending at row r-1 of lane l is emitted at
     # (r, l) when flags[r, l]; the last row's runs are emitted by the
     # flush row R (all flags set)
     er, el = np.nonzero(flags[1:])
-    pos = np.concatenate([(er + 1) * lanes + el,
+    pos = np.concatenate([(er.astype(np.int64) + 1) * lanes + el,
                           R * lanes + np.arange(lanes)])
-    key = np.concatenate([keys_col[er, el], keys_col[R - 1, :]])
-    valid = (key < SENT) & (key % N_BUCKETS != 0)
+    key = np.concatenate([keys_col[er, el], keys_col[R - 1, :]]).astype(
+        np.int64)
+    valid = (key < int(SENT)) & (key % N_BUCKETS != 0)
     pos, key = pos[valid], key[valid]
-    o = np.argsort(key, kind="stable")
+    o = np.argsort(key.astype(np.uint16), kind="stable")
     pos, key = pos[o], key[o]
 
     # layer the per-lane partials: occurrence index within each bucket
@@ -130,21 +153,21 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
     dense_idx = np.zeros((K, w * N_BUCKETS), np.int32)
     dense_idx[occ, key] = pos
 
-    perm_rows = np.zeros((R + 1, lanes), np.int64)
-    perm_rows[:R] = pid_col
     flag_rows = np.ones((R + 1, lanes), bool)
     flag_rows[:R] = flags
+    perm = np.zeros((R + 1, lanes), np.uint16)
+    perm[:R] = pid_col
     if n <= (1 << 15):
-        perm = (perm_rows | (flag_rows.astype(np.int64) << 15)).astype(
-            np.uint16
-        )
-        perm_hi = None
+        perm |= flag_rows.astype(np.uint16) << 15
+        flag_bits = None
     else:
-        perm = (perm_rows & 0x7FFF | (flag_rows.astype(np.int64) << 15)
-                ).astype(np.uint16)
-        perm_hi = (perm_rows >> 15).astype(np.uint8)
-    return Schedule(perm=perm, perm_hi=perm_hi, dense_idx=dense_idx, R=R,
-                    K=K, n_points=n)
+        # pack the flag bitmap: bit (l % 32) of word [r, l // 32]
+        fb = flag_rows.reshape(R + 1, lanes // 32, 32)
+        flag_bits = (fb.astype(np.uint32)
+                     << np.arange(32, dtype=np.uint32)).sum(
+                         axis=2, dtype=np.uint32)
+    return Schedule(perm=perm, flag_bits=flag_bits, dense_idx=dense_idx,
+                    R=R, K=K, n_points=n)
 
 
 @functools.lru_cache(maxsize=1)
@@ -249,20 +272,25 @@ def _runscan_xla(vals2, flags2, curve: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("curve", "R", "lanes", "K", "has_hi")
+    jax.jit, static_argnames=("curve", "R", "lanes", "K", "has_bits")
 )
-def _device_msm(pool, perm, perm_hi, dense_idx, subset_idx, curve, R, lanes,
-                K, has_hi):
+def _device_msm(pool, perm, flag_bits, dense_idx, subset_idx, curve, R,
+                lanes, K, has_bits):
     from .pallas_curve import pairs_add_call, proj_add_xla, runscan_call
 
     fused = _use_fused()
     interpret = jax.default_backend() == "cpu"
     C = 24 if curve == "g1" else 48
     Ls = lanes // 128
-    pid = (perm & 0x7FFF).astype(jnp.int32)
-    if has_hi:
-        pid = pid | (perm_hi.astype(jnp.int32) << 15)
-    flag = (perm >> 15).astype(jnp.int32)
+    if has_bits:
+        pid = perm.astype(jnp.int32)
+        bits = jnp.right_shift(
+            flag_bits[:, :, None], jnp.arange(32, dtype=jnp.uint32)
+        ) & 1
+        flag = bits.reshape(R + 1, lanes).astype(jnp.int32)
+    else:
+        pid = (perm & 0x7FFF).astype(jnp.int32)
+        flag = (perm >> 15).astype(jnp.int32)
 
     vals = pool[:, pid // 128, pid % 128]  # (VC, R+1, lanes)
     VC = vals.shape[0]
@@ -348,18 +376,19 @@ def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
             digits[:, inf] = 0
         schedule = build_schedule(digits)
     s = schedule
-    has_hi = s.perm_hi is not None
+    has_bits = s.flag_bits is not None
     g = _device_msm(
         pool,
         jnp.asarray(s.perm),
-        jnp.asarray(s.perm_hi) if has_hi else jnp.zeros((1, 1), jnp.uint8),
+        jnp.asarray(s.flag_bits) if has_bits
+        else jnp.zeros((1, 1), jnp.uint32),
         jnp.asarray(s.dense_idx),
         _subset_idx(),
         curve,
         s.R,
         s.perm.shape[1],
         s.K,
-        has_hi,
+        has_bits,
     )
     return (g, curve)
 

@@ -1,0 +1,67 @@
+"""ctypes binding for the native run-scan schedule builder
+(csrc/scan_sched.cpp). Auto-builds with g++ on first use; msm_scan
+falls back to its numpy builder when unavailable."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                    "scan_sched.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                    "libzelana_sched.so")
+
+
+@lru_cache(maxsize=1)
+def load():
+    src = os.path.abspath(_SRC)
+    lib_path = os.path.abspath(_LIB)
+    if not os.path.exists(lib_path) and os.path.exists(src):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(lib_path):
+        return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+    lib.zelana_build_scan_schedule.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.zelana_build_scan_schedule.restype = ctypes.c_int
+    return lib
+
+
+def build_schedule_arrays(digits: np.ndarray, lanes: int, R: int,
+                          fold_bit15: bool, kmax: int = 16):
+    """Returns (perm u16 (R+1, L), flag_bits u32 (R+1, L/32),
+    dense_idx (K, w*256) i32, K) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    w, n = digits.shape
+    digits_c = np.ascontiguousarray(digits, dtype=np.int32)
+    perm = np.empty((R + 1, lanes), np.uint16)
+    flag_bits = np.zeros((R + 1, lanes // 32), np.uint32)
+    dense = np.zeros((kmax, w * 256), np.int32)
+    meta = np.zeros(1, np.int64)
+    rc = lib.zelana_build_scan_schedule(
+        digits_c.ctypes.data, w, n, lanes, R, 1 if fold_bit15 else 0,
+        perm.ctypes.data, flag_bits.ctypes.data, dense.ctypes.data,
+        kmax, meta.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    return perm, flag_bits, dense, int(meta[0])

@@ -187,3 +187,278 @@ def sharded_mimc_hash2(a, b, mesh: Mesh, axis: str = "dp"):
         out_specs=P(None, axis),
     )
     return fn(a, b)
+
+
+# ---------------------------------------------------------------------------
+# single-transform sharded NTT: butterfly stages exchanged over ICI
+# ---------------------------------------------------------------------------
+#
+# ONE transform of size n block-sharded across D devices. The first
+# log2(n/D) DIT stages are local (butterfly distance < shard size); the top
+# log2(D) stages pair element i with i ^ 2^s across devices -- each is ONE
+# ppermute of the full local block over ICI plus a full-width butterfly.
+# This is the all-to-all butterfly schedule from BASELINE config 2 /
+# SURVEY 2.7 (the radix-2 analogue of the reference's chunked long
+# dimension), replacing ops/ntt.py's single-chip-only transform when the
+# domain no longer fits one chip's HBM.
+
+
+def sharded_ntt(x, plan, mesh: Mesh, axis: str = "dp",
+                inverse: bool = False):
+    """x: (16, n) global array (any sharding; resharded internally).
+    Returns the transform in natural order, block-sharded along `axis`."""
+    from jax.sharding import NamedSharding
+
+    D = int(np.prod(mesh.devices.shape))
+    n = plan.n
+    m = n // D
+    log_m = m.bit_length() - 1
+    log_n = n.bit_length() - 1
+    tables = (plan.twiddles_inv_dev() if inverse else plan.twiddles_dev())
+
+    def local_fn(xs):
+        xs = xs.reshape(L.NLIMBS, m)
+        dev = jax.lax.axis_index(axis)
+        # local stages: butterfly distance < m, twiddles repeat per group
+        for s in range(log_m):
+            half = 1 << s
+            groups = m // (2 * half)
+            xr = xs.reshape(L.NLIMBS, groups, 2, half)
+            a, b = xr[:, :, 0, :], xr[:, :, 1, :]
+            tw = jnp.broadcast_to(tables[s][:, None, :],
+                                  (L.NLIMBS, groups, half))
+            bt = L.mont_mul(b, tw, L.FR)
+            xs = jnp.stack(
+                [L.add(a, bt, L.FR), L.sub(a, bt, L.FR)], axis=2
+            ).reshape(L.NLIMBS, m)
+        # cross-device stages: partner block = device ^ 2^k, one ppermute
+        # of the whole local block per stage
+        for s in range(log_m, log_n):
+            k = s - log_m
+            perm = [(i, i ^ (1 << k)) for i in range(D)]
+            recv = jax.lax.ppermute(xs, axis, perm)
+            bit = (dev >> k) & 1
+            a = jnp.where(bit, recv, xs)
+            b = jnp.where(bit, xs, recv)
+            # within-group twiddle position of local j:
+            # (dev & (2^k - 1)) * m + j
+            lo_dev = dev & ((1 << k) - 1)
+            tw = jax.lax.dynamic_slice_in_dim(
+                jax.lax.pvary(tables[s], (axis,)), 0, (1 << s), axis=1
+            )
+            tw = jax.lax.dynamic_slice_in_dim(tw, lo_dev * m, m, axis=1)
+            bt = L.mont_mul(b, tw, L.FR)
+            xs = jnp.where(bit, L.sub(a, bt, L.FR), L.add(a, bt, L.FR))
+        return xs
+
+    x = jnp.take(x, plan.bitrev_dev(), axis=1)  # global gather (resharded)
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P(None, axis), out_specs=P(None, axis),
+        check_vma=False,
+    )
+    out = fn(x)
+    if inverse:
+        n_inv = L.broadcast_scalar(plan.n_inv_mont, (n,))
+        out = L.mont_mul(out, n_inv, L.FR)
+    return out
+
+
+def sharded_intt(x, plan, mesh: Mesh, axis: str = "dp"):
+    return sharded_ntt(x, plan, mesh, axis=axis, inverse=True)
+
+
+# ---------------------------------------------------------------------------
+# sharded run-scan MSM: point shards + ppermute bucket-array reduction
+# ---------------------------------------------------------------------------
+#
+# The production multi-chip MSM: each device owns N/D points and their
+# scalars, runs the run-scan bucket accumulation (ops/msm_scan.py) on its
+# shard to a dense (C, W*256) bucket-point array, then the D dense arrays
+# reduce with a log2(D)-round XOR-butterfly of ppermute + full-width
+# complete adds -- ~C*8192 u32 per round over ICI, after which every device
+# holds the global bucket sums (allreduce shape). The bit-subset tree and
+# host Horner finish as in the single-chip path. This replaces the
+# reference's coordinator/worker HTTP fan-out for the compute plane
+# (SURVEY 2.7); the host-side Dispatcher remains the cross-HOST axis.
+
+
+def sharded_msm_scan_begin(pool_shards, schedules, mesh: Mesh,
+                           curve: str = "g1", axis: str = "dp"):
+    """pool_shards: per-device packed pools stacked on axis 0
+    (D, VC, np/128, 128); schedules: per-shard msm_scan.Schedule list with
+    UNIFORM (R, K, lanes) (equal shard sizes guarantee this).
+    Returns the (2C, 256) finals handle (sync with msm_scan.msm_end)."""
+    from ..ops import msm_scan as MS
+    from ..ops.pallas_curve import (
+        _coords,
+        _flat,
+        complete_add,
+        kernel_pack,
+        kernel_unpack,
+        proj_add_xla,
+    )
+
+    D = int(np.prod(mesh.devices.shape))
+    assert len(schedules) == D
+    s0 = schedules[0]
+    R, lanes, K = s0.R, s0.perm.shape[1], max(s.K for s in schedules)
+    C = 24 if curve == "g1" else 48
+    fused = MS._use_fused()
+
+    perm = jnp.asarray(np.stack([s.perm for s in schedules]))
+    has_bits = s0.flag_bits is not None
+    fbits = (jnp.asarray(np.stack([s.flag_bits for s in schedules]))
+             if has_bits else jnp.zeros((D, 1, 1), jnp.uint32))
+    dense = np.zeros((D, K, s0.dense_idx.shape[1]), np.int32)
+    for i, s in enumerate(schedules):
+        dense[i, :s.K] = s.dense_idx
+    dense = jnp.asarray(dense)
+    subset = MS._subset_idx()
+
+    def shard_fn(pool, perm, fbits, dense_idx):
+        pool = pool[0]
+        perm = perm[0]
+        dense_idx = dense_idx[0]
+        if has_bits:
+            pid = perm.astype(jnp.int32)
+            bits = jnp.right_shift(
+                fbits[0][:, :, None], jnp.arange(32, dtype=jnp.uint32)
+            ) & 1
+            flag = bits.reshape(R + 1, lanes).astype(jnp.int32)
+        else:
+            pid = (perm & 0x7FFF).astype(jnp.int32)
+            flag = (perm >> 15).astype(jnp.int32)
+        vals = pool[:, pid // 128, pid % 128]
+        VC = vals.shape[0]
+        if fused:
+            from ..ops.pallas_curve import runscan_call
+
+            vals4 = vals.reshape(VC, R + 1, lanes // 128, 128).transpose(
+                1, 0, 2, 3)
+            flag3 = flag.reshape(R + 1, lanes // 128, 128)
+            emit = runscan_call(L.FQ.modulus, curve, lanes // 128, R,
+                                False)(vals4, flag3)
+            flat = emit.transpose(1, 0, 2, 3).reshape(C, (R + 1) * lanes)
+        else:
+            vals2 = vals.transpose(1, 0, 2)
+            emit = MS._runscan_xla(vals2, flag, curve)
+            flat = emit.transpose(1, 0, 2).reshape(C, (R + 1) * lanes)
+
+        def padd(a, b):
+            P3 = _coords(kernel_unpack(a), curve, 3 if curve == "g1" else 6)
+            Q3 = _coords(kernel_unpack(b), curve, 3 if curve == "g1" else 6)
+            return kernel_pack(_flat(proj_add_xla(P3, Q3, curve), curve))
+
+        layers = flat[:, dense_idx]  # (C, K, W*256)
+        merged = layers[:, 0]
+        for k in range(1, K):
+            merged = padd(merged, layers[:, k])
+
+        # XOR-butterfly allreduce of the dense bucket-point array
+        for k in range(int(np.log2(D))):
+            perm_pairs = [(i, i ^ (1 << k)) for i in range(D)]
+            recv = jax.lax.ppermute(merged, axis, perm_pairs)
+            merged = padd(merged, recv)
+
+        sub = merged[:, subset]
+        h = N_BUCKETS // 2
+        x = sub.reshape(C, 8 * N_WINDOWS, h)
+        while h > 1:
+            h //= 2
+            a = x[:, :, :h].reshape(C, -1)
+            b = x[:, :, h:2 * h].reshape(C, -1)
+            x = padd(a, b).reshape(C, 8 * N_WINDOWS, h)
+        finals = x[:, :, 0]
+        lo = finals & 0xFFFF
+        hi = finals >> 16
+        return jnp.stack([lo, hi], axis=1).reshape(2 * C, -1)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    g = jax.jit(fn)(pool_shards, perm, fbits, dense)
+    return (g, curve)
+
+
+def sharded_msm_scan(points, scalars, mesh: Mesh, curve: str = "g1",
+                     axis: str = "dp"):
+    """Full sharded MSM from python points/scalars (N % D == 0)."""
+    from ..ops import msm_scan as MS
+    from ..ops.msm import scalar_digits
+    from ..ops.msm_fast import _finish_host
+
+    D = int(np.prod(mesh.devices.shape))
+    n = len(points)
+    assert n % D == 0
+    shard = n // D
+    pools, schedules = [], []
+    prep = (MS.prepare_g1 if curve == "g1" else MS.prepare_g2)
+    for d in range(D):
+        pool, inf, _ = prep(points[d * shard:(d + 1) * shard])
+        digits = scalar_digits(scalars[d * shard:(d + 1) * shard], inf)
+        pools.append(pool)
+        schedules.append(MS.build_schedule(digits))
+    pool_shards = jnp.stack(pools)
+    handle = sharded_msm_scan_begin(pool_shards, schedules, mesh, curve,
+                                    axis)
+    return _finish_host(handle[0], curve)
+
+
+# ---------------------------------------------------------------------------
+# prove()-facing sharded MSM API (mirrors ops/msm_scan.msm_begin/msm_end)
+# ---------------------------------------------------------------------------
+
+
+def prepare_g1_sharded(points, mesh: Mesh):
+    return _prepare_sharded(points, mesh, "g1")
+
+
+def prepare_g2_sharded(points, mesh: Mesh):
+    return _prepare_sharded(points, mesh, "g2")
+
+
+def _prepare_sharded(points, mesh: Mesh, curve: str):
+    """Split the fixed query basis across the mesh once per proving key.
+    Points pad to equal shards with a repeated point; the padding scalars
+    are zeroed at schedule time (zero digits land in dropped buckets)."""
+    from ..ops import msm_scan as MS
+
+    D = int(np.prod(mesh.devices.shape))
+    n = len(points)
+    shard = -(-n // D)
+    padded = list(points) + [points[0]] * (D * shard - n)
+    prep = MS.prepare_g1 if curve == "g1" else MS.prepare_g2
+    pools, infs = [], []
+    for d in range(D):
+        pool, inf, _ = prep(padded[d * shard:(d + 1) * shard])
+        pools.append(pool)
+        infs.append(inf)
+    return (jnp.stack(pools), infs, curve, n, shard)
+
+
+def msm_begin_sharded(prepared, scalars, mesh: Mesh, digits=None,
+                      axis: str = "dp"):
+    """Sharded twin of msm_scan.msm_begin: slice scalars per shard, build
+    per-shard schedules (host, overlappable), dispatch the shard_map
+    program. Sync with ops.msm_fast._finish_host via msm_scan.msm_end."""
+    from ..ops import msm_scan as MS
+    from ..ops.msm import scalar_digits
+
+    pool_shards, infs, curve, n, shard = prepared
+    D = pool_shards.shape[0]
+    scalars = list(scalars) + [0] * (D * shard - n)
+    schedules = []
+    for d in range(D):
+        if digits is not None and d * shard + shard <= digits.shape[1]:
+            dd = digits[:, d * shard:(d + 1) * shard]
+            if infs[d] is not None and infs[d].any():
+                dd = dd.copy()
+                dd[:, infs[d]] = 0
+        else:
+            dd = scalar_digits(scalars[d * shard:(d + 1) * shard], infs[d])
+        schedules.append(MS.build_schedule(dd))
+    return sharded_msm_scan_begin(pool_shards, schedules, mesh, curve, axis)

@@ -198,15 +198,54 @@ class ApiClient:
         return self.post("/dev/seal", {})
 
     # -- prover-coordinator job API -----------------------------------------------
+    # (NoirProverClient surface, core/src/sequencer/settlement/noir_client.rs)
 
-    def prove_batch(self) -> str:
-        return self.post("/v2/batch/prove", {})["job_id"]
+    def prove_batch(self, request: Optional[dict] = None) -> str:
+        """Start a prove job. Pass the coordinator-shaped request
+        (accounts/transfers/withdrawals/shielded_commitments) to drive the
+        chunked dispatcher; empty body proves the pipeline's sealed batch."""
+        return self.post("/v2/batch/prove", request or {})["job_id"]
 
     def prove_status(self, job_id: str) -> str:
-        return self.get(f"/v2/{job_id}/status")["status"]
+        return self.get(f"/v2/batch/{job_id}/status")["status"]
+
+    def stream_status(self, job_id: str, timeout: float = 300.0):
+        """SSE status stream (noir_client.rs:432-549's SSE leg): yields
+        status strings until the job is terminal."""
+        url = f"{self.base_url}/v2/batch/{job_id}/status?stream=1"
+        req = urllib.request.Request(
+            url, headers={"Accept": "text/event-stream"})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            for raw in resp:
+                line = raw.decode().strip()
+                if line.startswith("data:"):
+                    status = json.loads(line[5:].strip())["status"]
+                    yield status
+                    if status in ("done", "unknown") or status.startswith(
+                            "failed"):
+                        return
 
     def fetch_proof(self, job_id: str) -> dict:
-        return self.get(f"/v2/{job_id}/proof")
+        return self.get(f"/v2/batch/{job_id}/proof")
+
+    def wait_for_proof(self, job_id: str, timeout: float = 300.0) -> dict:
+        """Follow the SSE stream to completion, then fetch the proof."""
+        for status in self.stream_status(job_id, timeout=timeout):
+            if status == "done":
+                return self.fetch_proof(job_id)
+            if status.startswith("failed") or status == "unknown":
+                raise ApiError(500, f"prove job {job_id}: {status}")
+        raise ApiError(504, f"prove job {job_id} did not finish")
+
+    @staticmethod
+    def detect_proof_format(proof_bytes: bytes) -> str:
+        """The settler's autodetect (settler.rs:543-546): 388/624 bytes ->
+        noir/sunspot, 256 -> groth16."""
+        if len(proof_bytes) in (388, 624):
+            return "noir"
+        if len(proof_bytes) == 256:
+            return "groth16"
+        return "unknown"
 
 
 class ZelanaClient:

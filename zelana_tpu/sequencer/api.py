@@ -48,6 +48,9 @@ class ApiState:
         self.dispatcher = dispatcher
         self.chunk_capacity = chunk_capacity
         self.chunk_depth = chunk_depth
+        # synchronous delegated-ownership prover (ownership_api.rs);
+        # None = route disabled
+        self.ownership_prover = None
 
 
 def create_handler(state: ApiState):
@@ -216,9 +219,41 @@ def create_handler(state: ApiState):
                         "accepted": res.accepted, "error": res.error,
                         "tx_hash": _pipeline_tx_hash(tx) if res.accepted else None,
                     })
+                if path == "/v2/ownership/prove":
+                    # synchronous delegated proving (ownership_api.rs:1-45)
+                    if state.ownership_prover is None:
+                        return self._json(503, {
+                            "error": "ownership prover not configured"})
+                    try:
+                        result = state.ownership_prover.prove(
+                            int(body["spending_key"]),
+                            int(body["value"]),
+                            int(body["blinding"]),
+                            int(body["position"]),
+                            expected_commitment=body.get("commitment"),
+                            expected_nullifier=body.get("nullifier"),
+                            expected_proxy=body.get("blinded_proxy"),
+                        )
+                    except ValueError as exc:
+                        return self._json(400, {"error": str(exc)})
+                    return self._json(200, result)
                 if path in ("/shielded/submit", "/shielded/delegated"):
+                    proof_bytes = bytes.fromhex(body.get("proof", ""))
+                    if (path == "/shielded/delegated"
+                            and state.ownership_prover is not None
+                            and body.get("ownership_public_inputs")):
+                        # real verification of the delegated ownership proof
+                        # (closes the reference's handlers.rs:352-353 TODO)
+                        pub = [int(v) for v in
+                               body["ownership_public_inputs"]]
+                        if not state.ownership_prover.verify(proof_bytes,
+                                                             pub):
+                            return self._json(400, {
+                                "accepted": False,
+                                "error": "ownership proof invalid",
+                            })
                     tx = Shielded(
-                        proof=bytes.fromhex(body.get("proof", "")),
+                        proof=proof_bytes,
                         nullifier=_unhex(body["nullifier"]),
                         commitment=_unhex(body["commitment"]),
                         ciphertext=bytes.fromhex(body.get("ciphertext", "")),
@@ -444,9 +479,19 @@ def create_handler(state: ApiState):
                                                 "result": None}
 
                     def run_job(body=body, job_id=job_id):
+                        import time as _time
+
                         try:
                             orch.seal()
-                            orch.tick()
+                            # the prove stage runs on a worker thread now:
+                            # tick + wait until the proof lands
+                            deadline = _time.time() + 300.0
+                            while _time.time() < deadline:
+                                orch.tick()
+                                if not (orch.proving_in_flight
+                                        or orch.batches.next_for_proving()):
+                                    break
+                                _time.sleep(0.02)
                             last = None
                             for b in orch.batches.sealed:
                                 if b.proof is not None:
@@ -475,13 +520,15 @@ def create_handler(state: ApiState):
 
 def start_api(orchestrator: PipelineOrchestrator, port: int = 0,
               dispatcher=None, chunk_capacity=(8, 4, 4),
-              chunk_depth: int = 32):
+              chunk_depth: int = 32, ownership_prover=None):
     """Returns (server, actual_port); serve_forever runs on a daemon thread.
 
     Pass a runtime.coordinator.Dispatcher (with a real chunk prover) to
-    enable the coordinator-shaped chunked /v2/batch/prove flow."""
+    enable the coordinator-shaped chunked /v2/batch/prove flow, and a
+    runtime.ownership_api.OwnershipProver for /v2/ownership/prove."""
     state = ApiState(orchestrator, dispatcher=dispatcher,
                      chunk_capacity=chunk_capacity, chunk_depth=chunk_depth)
+    state.ownership_prover = ownership_prover
     server = ThreadingHTTPServer(("127.0.0.1", port), create_handler(state))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()

@@ -300,12 +300,17 @@ class PipelineOrchestrator:
             final[t.recipient_pk] = final.get(t.recipient_pk, 0) + t.amount
         for w, t in zip(wds, [t for t in batch.transactions if isinstance(t, Withdraw)]):
             final[t.from_] = final.get(t.from_, 0) - t.amount
+        from ..circuits.l2_block import compute_shielded_root
+
+        # shielded commitments ARE proven: the circuit folds them over the
+        # pre root (the reference left this as prover.rs:402 TODO and
+        # passed pre==post; we close it)
         return BatchPublicInputs(
             pre_state_root=compute_state_root(batch.id, witness.initial_accounts),
             post_state_root=compute_state_root(batch.id, final),
             pre_shielded_root=batch.pre_shielded_root,
-            post_shielded_root=batch.pre_shielded_root,  # circuit path: no
-            # shielded commitments are proven yet (prover.rs:402 TODO)
+            post_shielded_root=compute_shielded_root(
+                batch.pre_shielded_root, witness.shielded_commitments),
             withdrawal_root=compute_withdrawal_root(wds),
             batch_hash=compute_batch_hash(batch.id, txs),
             batch_id=batch.id,
