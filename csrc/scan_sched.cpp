@@ -27,15 +27,16 @@ using u16 = uint16_t;
 using u32 = uint32_t;
 
 extern "C" int zelana_build_scan_schedule(
-    const i32* digits,  // (w, n) row-major window digits
-    i32 w, i32 n, i32 lanes, i32 R, i32 fold_bit15,
+    const i32* digits,  // (w, n) row-major window digits in [0, nb)
+    i32 w, i32 n, i32 nb, i32 lanes, i32 R, i32 fold_bit15,
     u16* perm,       // (R+1) * lanes, caller-allocated
     u32* flag_bits,  // (R+1) * (lanes / 32), caller-zeroed
-    i32* dense_idx,  // kmax * (w * 256), caller-zeroed
+    i32* dense_idx,  // kmax * (w * nb), caller-zeroed
     i32 kmax,
     i64* meta)  // out: meta[0] = K (layers used)
 {
-    const i32 NB = 256;
+    const i32 NB = nb;
+    if ((i64)w * NB > 0xFFFF) return 3;  // keys must fit uint16
     const i32 nbuckets = w * NB;
     const i64 nw = (i64)w * n;
     const i64 total = (i64)R * lanes;
@@ -78,7 +79,7 @@ extern "C" int zelana_build_scan_schedule(
         for (i32 r = 0; r < R; ++r) {
             u16 k = skey[(i64)l * R + r];
             bool flag = (r == 0) || (k != prev);
-            if (flag && r > 0 && prev != 0xFFFF && (prev & 0xFF) != 0) {
+            if (flag && r > 0 && prev != 0xFFFF && (prev % NB) != 0) {
                 i32 o = occ[prev]++;
                 if (o >= kmax) return 2;
                 if (o + 1 > K) K = o + 1;
@@ -91,7 +92,7 @@ extern "C" int zelana_build_scan_schedule(
             prev = k;
         }
         // flush row R emits the run ending at R-1
-        if (prev != 0xFFFF && (prev & 0xFF) != 0) {
+        if (prev != 0xFFFF && (prev % NB) != 0) {
             i32 o = occ[prev]++;
             if (o >= kmax) return 2;
             if (o + 1 > K) K = o + 1;

@@ -1,6 +1,8 @@
 """Bridge bookkeeping tests: deposit ingest dedup, withdrawal queue, fast
 withdrawals."""
 
+import time
+
 import pytest
 
 from zelana_tpu.sequencer.batch import BatchConfig
@@ -30,8 +32,10 @@ def test_deposit_ingest_and_dedup():
     assert not idx.process_log(11, line)  # dedup by l1_seq
     assert idx.last_processed_slot() == 10
     orch.seal()
-    orch.tick()
-    orch.tick()
+    deadline = time.time() + 5
+    while time.time() < deadline and orch.stats.batches_settled == 0:
+        orch.tick()
+        time.sleep(0.01)
     assert orch.get_account(ALICE).balance == 500
 
 

@@ -312,3 +312,138 @@ def test_ownership_prove_api_and_delegated_verification():
     # verify() on the tampered bytes fails directly (server closed above)
     assert not prover.verify(bytes(tampered),
                              [int(v) for v in result["public_inputs"]])
+
+
+def test_http_worker_plane_round_trip():
+    """Worker HTTP service (prover-worker/src/main.rs): chunks serialize
+    through ChunkProveRequest, prove on the worker, and the dispatcher's
+    HTTP prover collects sunspot-shaped results. Uses a stub prover (the
+    real-prove path is covered by the slow-gated e2e); the wire layer is
+    what's under test."""
+    from zelana_tpu.runtime.chunk_prover import (
+        Groth16ChunkProver,
+        sunspot_public_witness,
+    )
+    from zelana_tpu.runtime.worker import (
+        chunk_from_request,
+        chunk_to_request,
+        http_chunk_prover,
+        start_worker,
+    )
+
+    builder = _builder()
+    transfers, withdrawals, shielded = _specs()
+    chunks = Dispatcher.build_chunks_with_witness(
+        builder, transfers, withdrawals, shielded, capacity=CAP,
+        pre_shielded_root=7)
+
+    # wire round-trip preserves the slot witnesses and roots exactly
+    req = chunk_to_request(chunks[0], batch_id=9)
+    back = chunk_from_request(
+        type(req).from_json(json.loads(json.dumps(req.to_json()))))
+    assert back.pre_state_root == chunks[0].pre_state_root
+    assert back.transfers == chunks[0].transfers
+    assert back.shielded == chunks[0].shielded
+
+    class StubProver(Groth16ChunkProver):
+        def __init__(self):
+            super().__init__(pk=None, capacity=CAP, tree_depth=DEPTH)
+
+        def prove_chunk(self, chunk, batch_id):
+            from zelana_tpu.runtime.chunk_witness import chunk_accumulators
+            from zelana_tpu.runtime.coordinator import ChunkProof
+
+            wd_root, batch_hash = chunk_accumulators(
+                batch_id, chunk.transfers, chunk.withdrawals,
+                chunk.shielded)
+            values = [chunk.pre_state_root, chunk.post_state_root,
+                      chunk.pre_shielded_root, chunk.post_shielded_root,
+                      wd_root, batch_hash, batch_id]
+            return ChunkProof(
+                chunk_index=chunk.index,
+                proof_bytes=bytes([chunk.index]) * 388,
+                public_inputs=values,
+                proving_time_ms=1,
+                public_witness=sunspot_public_witness(values),
+            )
+
+    servers = []
+    try:
+        urls = []
+        for _ in range(2):
+            server, port = start_worker(StubProver())
+            servers.append(server)
+            urls.append(f"http://127.0.0.1:{port}")
+        dispatcher = Dispatcher(chunk_prover=http_chunk_prover(urls))
+        job = dispatcher.submit_job(chunks, batch_id=9)
+        deadline = time.time() + 15
+        while time.time() < deadline and dispatcher.status(job) == "running":
+            time.sleep(0.05)
+        proofs = dispatcher.proofs(job)
+        assert proofs is not None and len(proofs) == 3
+        for i, cp in enumerate(proofs):
+            assert cp.chunk_index == i
+            assert len(cp.proof_bytes) == 388
+            assert len(cp.public_witness) == 236
+        # chained roots survive the wire
+        assert proofs[0].public_inputs[1] == proofs[1].public_inputs[0]
+    finally:
+        for s in servers:
+            s.shutdown()
+
+
+def test_noir_prover_client_against_live_coordinator():
+    """NoirProverClient (noir_client.rs): BatchProver over the chunked
+    /v2/batch/prove job API with SSE; proof lands in the 624-byte combined
+    sunspot format the settler autodetects."""
+    from zelana_tpu.runtime.coordinator import mock_chunk_prover
+    from zelana_tpu.sequencer.api import start_api
+    from zelana_tpu.sequencer.pipeline import PipelineOrchestrator
+    from zelana_tpu.sequencer.prover_service import (
+        BatchPublicInputs,
+        BatchWitness,
+        NoirProverClient,
+        build_prover_from_config,
+    )
+    from zelana_tpu.sequencer.settler import is_noir_proof
+    from zelana_tpu.sequencer.transactions import Transfer
+
+    orch = PipelineOrchestrator()
+    dispatcher = Dispatcher(chunk_prover=mock_chunk_prover)
+    server, port = start_api(orch, dispatcher=dispatcher,
+                             chunk_capacity=CAP, chunk_depth=DEPTH)
+    try:
+        client = NoirProverClient(f"http://127.0.0.1:{port}", timeout=30)
+        inputs = BatchPublicInputs(*([b"\x00" * 32] * 6), batch_id=1)
+        alice, bob = b"\x01" * 32, b"\x02" * 32
+        witness = BatchWitness(
+            transactions=[Transfer(signer_pubkey=alice, to=bob, amount=5,
+                                   nonce=0, signature=b"\x01" * 64)],
+            initial_accounts={alice: 100, bob: 0},
+        )
+        proof = client.prove(inputs, witness)
+        assert is_noir_proof(proof)
+        assert client.verify(proof)
+        assert client.last_result["chunks"]
+
+        # config-driven selection (pipeline.rs:217-281 fallback ladder)
+        class Cfg:
+            prover_mode = "noir"
+            mock_prover = False
+            proving_key = None
+            noir_coordinator_url = f"http://127.0.0.1:{port}"
+
+        p = build_prover_from_config(Cfg())
+        assert isinstance(p, NoirProverClient)
+
+        class BadCfg:
+            prover_mode = "groth16"
+            mock_prover = False
+            proving_key = "/nonexistent.key"
+            noir_coordinator_url = None
+
+        from zelana_tpu.sequencer.prover_service import MockProver
+
+        assert isinstance(build_prover_from_config(BadCfg()), MockProver)
+    finally:
+        server.shutdown()

@@ -127,3 +127,28 @@ def test_prover_node_swarm_over_http():
     finally:
         for s in servers:
             s.shutdown()
+
+
+def test_swarm_controller_node_fleet():
+    """prover-control parity: the controller boots a node fleet as
+    subprocesses, reports status/logs, and the swarm proves over HTTP."""
+    from zelana_tpu.runtime.control import SwarmController
+    from zelana_tpu.runtime.prover_node import NodeNetworkCoordinator
+
+    ctl = SwarmController()
+    try:
+        urls = [ctl.start_node(i + 1).url for i in range(3)]
+        status = ctl.status()
+        assert len(status) == 3
+        assert all(s["running"] for s in status.values())
+        assert "prover node" in ctl.logs("node1")
+
+        coord = NodeNetworkCoordinator(urls)
+        proof, pk = coord.prove(secret=424242, message=b"ctl swarm", k=2)
+        assert proof.verify(pk, b"ctl swarm")
+
+        ctl.stop("node3")
+        assert "node3" not in ctl.status()
+    finally:
+        ctl.stop()
+    assert ctl.status() == {}

@@ -61,18 +61,21 @@ def test_msm_scan_g2_matches_golden():
 def test_schedule_shapes_and_layers():
     import numpy as np
 
-    from zelana_tpu.ops.msm import scalar_digits
-
     r = random.Random(3)
     scalars = [r.randrange(FR) for _ in range(64)]
-    digits = scalar_digits(scalars)
+    digits = MS.scalar_digits(scalars)
+    assert digits.shape[0] == MS.SCAN_WINDOWS
+    # digit decomposition reconstructs the scalar
+    rec = sum(int(digits[w, 0]) << (w * MS.SCAN_BITS)
+              for w in range(MS.SCAN_WINDOWS))
+    assert rec == scalars[0]
     s = MS.build_schedule(digits)
     nw = digits.size
     lanes = s.perm.shape[1]
     assert s.perm.shape == (s.R + 1, lanes)
     assert s.R * lanes >= nw
     assert s.K >= 1 and (s.K & (s.K - 1)) == 0  # power of two
-    assert s.dense_idx.shape == (s.K, 32 * 256)
+    assert s.dense_idx.shape == (s.K, MS.SCAN_WINDOWS * MS.SCAN_BUCKETS)
     # flag bit present on the flush row
     assert (s.perm[s.R] >> 15).all()
     # every dense entry points inside the emit buffer

@@ -496,3 +496,30 @@ def test_prove_runs_off_tick_thread_accumulation_overlaps():
     assert orch.stats.batches_proved == 1
     assert orch.stats.batches_settled == 1
     assert first.state.value == "finalized"
+
+
+def test_web_explorer_snapshot_and_http():
+    """debug/web parity: the explorer serves live store state over HTTP."""
+    import urllib.request
+
+    from zelana_tpu.tools.explorer import snapshot, start_explorer
+
+    orch = make_orchestrator()
+    orch.submit(Deposit(to=ALICE, amount=123, l1_seq=1))
+    orch.seal()
+    drain(orch)
+    snap = snapshot(orch.store)
+    assert snap["counts"]["accounts"] >= 1
+    assert any(a["balance"] == 123 for a in snap["accounts"])
+    assert snap["batches"] and snap["transactions"]
+
+    server, port = start_explorer(orch.store)
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/").read().decode()
+        assert "zelana-tpu" in page
+        data = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/data").read())
+        assert data["counts"]["accounts"] >= 1
+    finally:
+        server.shutdown()

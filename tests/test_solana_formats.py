@@ -121,3 +121,35 @@ def test_block_header_zlna_roundtrip():
     assert BlockHeader.from_bytes(data) == h
     g = BlockHeader.genesis()
     assert BlockHeader.from_bytes(g.to_bytes()) == g
+
+
+def test_risc0_claim_digest_path():
+    """RISC0 receipt path (verifier lib.rs:309-341, 550-650): tag-hash
+    claim construction, digest splitting, scalar checks."""
+    from zelana_tpu.sequencer.onchain_verifier import (
+        hash_risc0_claim,
+        risc0_public_inputs,
+        verify_risc0_proof,
+    )
+
+    image_id = b"\x0a" * 32
+    journal = b"\x0b" * 32
+    claim = hash_risc0_claim(image_id, journal)
+    assert len(claim) == 32 and claim != b"\x00" * 32
+    # deterministic
+    assert claim == hash_risc0_claim(image_id, journal)
+    assert claim != hash_risc0_claim(image_id, b"\x0c" * 32)
+
+    inputs = risc0_public_inputs(claim)
+    assert len(inputs) == 5
+    # split halves are 128-bit values zero-extended to 32 bytes
+    assert inputs[0][:16] == b"\x00" * 16 and inputs[2][:16] == b"\x00" * 16
+    assert verify_risc0_proof(b"\x00" * 256, image_id, journal)
+    import pytest as _pytest
+
+    from zelana_tpu.sequencer.onchain_verifier import _split_digest
+
+    with _pytest.raises(ValueError):
+        risc0_public_inputs(b"\x00" * 32)
+    lo, hi = _split_digest(bytes(range(32)))
+    assert lo != hi

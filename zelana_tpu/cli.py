@@ -1,9 +1,12 @@
-"""zelana-tpu command line (mirror of cli/: `zelana dev|keygen|prove|bench`).
+"""zelana-tpu command line (mirror of cli/ + the forge service binaries).
 
-    python -m zelana_tpu.cli dev        # local stack: pipeline + HTTP (+UDP)
-    python -m zelana_tpu.cli keygen     # Groth16 circuit-specific setup
-    python -m zelana_tpu.cli prove      # prove a demo batch end to end
-    python -m zelana_tpu.cli verify     # verify a proof file
+    python -m zelana_tpu.cli dev         # local stack: pipeline + HTTP (+UDP)
+    python -m zelana_tpu.cli keygen      # Groth16 circuit-specific setup
+    python -m zelana_tpu.cli prove       # prove a demo batch end to end
+    python -m zelana_tpu.cli verify      # verify a proof file
+    python -m zelana_tpu.cli worker      # chunk-proving worker service
+    python -m zelana_tpu.cli node        # blind MPC prover node
+    python -m zelana_tpu.cli explorer    # live store web explorer
 """
 
 from __future__ import annotations
@@ -22,7 +25,11 @@ def cmd_dev(args):
         PipelineConfig, PipelineOrchestrator, PipelineService)
     from .sequencer.batch import BatchConfig
 
+    from .sequencer.prover_service import build_prover_from_config
+
     cfg = ZelanaConfig.load(args.config)
+    prover = build_prover_from_config(cfg)
+    print(f"prover: {type(prover).__name__} (mode={cfg.prover_mode})")
     orch = PipelineOrchestrator(
         config=PipelineConfig(
             batch=BatchConfig(
@@ -31,6 +38,7 @@ def cmd_dev(args):
                 max_shielded=cfg.batch_max_shielded,
             )
         ),
+        prover=prover,
         dev_mode=cfg.dev_mode,
     )
     service = PipelineService(orch).start()
@@ -137,6 +145,51 @@ def cmd_verify(args):
         print(f"  pairing check: {verify(vk, proof, inputs)}")
 
 
+def cmd_worker(args):
+    """Chunk-proving worker (forge prover-worker main.rs): keygen the
+    fixed-capacity chunk circuit once, then serve /prove."""
+    from .runtime.chunk_prover import Groth16ChunkProver
+    from .runtime.worker import start_worker
+
+    cap = tuple(int(x) for x in args.capacity.split("/"))
+    print(f"keygen for capacity {cap}, depth {args.depth}...")
+    prover = Groth16ChunkProver.setup(cap, args.depth)
+    server, port = start_worker(prover, port=args.port)
+    print(f"chunk worker: http://127.0.0.1:{port}")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+def cmd_node(args):
+    """Blind MPC prover node (forge prover-node main.rs)."""
+    from .runtime.prover_node import start_prover_node
+
+    server, port, _ = start_prover_node(args.node_id, port=args.port)
+    print(f"prover node {args.node_id}: http://127.0.0.1:{port}")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+def cmd_explorer(args):
+    """Live store explorer (debug/web parity)."""
+    from .sequencer.store import Store
+    from .tools.explorer import start_explorer
+
+    _, port = start_explorer(Store(args.db_path), args.port)
+    print(f"explorer: http://127.0.0.1:{port}")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="zelana-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -165,6 +218,23 @@ def main(argv=None):
     p.add_argument("--inputs", default=None,
                    help="comma-separated public inputs")
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("worker", help="chunk-proving worker service")
+    p.add_argument("--capacity", default="8/4/4",
+                   help="transfers/withdrawals/shielded per chunk")
+    p.add_argument("--depth", type=int, default=32)
+    p.add_argument("--port", type=int, default=0)
+    p.set_defaults(fn=cmd_worker)
+
+    p = sub.add_parser("node", help="blind MPC prover node")
+    p.add_argument("--node-id", type=int, required=True)
+    p.add_argument("--port", type=int, default=0)
+    p.set_defaults(fn=cmd_node)
+
+    p = sub.add_parser("explorer", help="live store web explorer")
+    p.add_argument("db_path")
+    p.add_argument("--port", type=int, default=8899)
+    p.set_defaults(fn=cmd_explorer)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -577,11 +577,12 @@ class _JacField:
         return (self.mul(x, zi2), self.mul(self.mul(y, zi2), zi))
 
 
-def _finish_host(g, curve):
-    """Host tail: bit-Horner each window's 8 bit-subset sums, then the
+def _finish_host(g, curve, window_bits: int = WINDOW_BITS,
+                 n_windows: int = N_WINDOWS):
+    """Host tail: bit-Horner each window's bit-subset sums, then the
     window Horner, all in Jacobian bigints; one inversion at the end.
 
-    g: (C, WINDOW_BITS * N_WINDOWS) device array of projective sums.
+    g: (C, window_bits * n_windows) device array of projective sums.
     A projective point maps into Jacobian coordinates as (X*Z, Y*Z^2, Z)."""
     fq2 = curve == "g2"
     F = _JacField(fq2)
@@ -604,17 +605,17 @@ def _finish_host(g, curve):
         else (F.zero, F.zero, F.zero)
         for x, y, z in coords
     ]
-    # pts laid out as (WINDOW_BITS, N_WINDOWS)
+    # pts laid out as (window_bits, n_windows)
     windows = []
-    for w in range(N_WINDOWS):
-        acc = pts[(WINDOW_BITS - 1) * N_WINDOWS + w]
-        for t in range(WINDOW_BITS - 2, -1, -1):
+    for w in range(n_windows):
+        acc = pts[(window_bits - 1) * n_windows + w]
+        for t in range(window_bits - 2, -1, -1):
             acc = F.dbl(acc)
-            acc = F.addp(acc, pts[t * N_WINDOWS + w])
+            acc = F.addp(acc, pts[t * n_windows + w])
         windows.append(acc)
     acc = windows[-1]
-    for w in range(N_WINDOWS - 2, -1, -1):
-        for _ in range(WINDOW_BITS):
+    for w in range(n_windows - 2, -1, -1):
+        for _ in range(window_bits):
             acc = F.dbl(acc)
         acc = F.addp(acc, windows[w])
     return F.to_affine(acc)

@@ -49,17 +49,42 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import limbs as L
-from .msm import (
-    N_BUCKETS,
-    N_WINDOWS,
-    WINDOW_BITS,
-    g1_points_to_device,
-    g2_points_to_device,
-    scalar_digits,
-)
+from .msm import g1_points_to_device, g2_points_to_device
 from .msm_fast import _finish_host
 
 LANES = 8192  # stream lanes; rows R = padded_stream / LANES
+
+# Window size: 11-bit windows cut the digit stream (and with it both the
+# per-MSM upload and the scan's add count) from 254/8 = 32 to 24 digits
+# per point vs the classic byte windows; the cost moves to the dense
+# bucket space (24 x 2048) and the subset tree, which grow ~linearly in
+# 2^c but stay < 15% of the scan at 2^16. Keys (w * 2^c + d) must fit
+# uint16 for the sort and the native scheduler: c = 11 -> max key 49151.
+SCAN_BITS = int(__import__("os").environ.get("ZELANA_SCAN_WINDOW_BITS",
+                                             "11"))
+SCAN_WINDOWS = -(-254 // SCAN_BITS)
+SCAN_BUCKETS = 1 << SCAN_BITS
+assert SCAN_WINDOWS * SCAN_BUCKETS <= 0xFFFF, "keys must fit uint16"
+
+
+def scalar_digits(scalars, inf_mask=None) -> np.ndarray:
+    """(SCAN_WINDOWS, N) int32 c-bit window digits; infinity points get
+    all-zero digits (they land in the dropped (w, 0) buckets)."""
+    n = len(scalars)
+    buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    limbs = np.frombuffer(buf, dtype="<u8").reshape(n, 4)
+    digits = np.empty((SCAN_WINDOWS, n), np.int32)
+    mask = np.uint64(SCAN_BUCKETS - 1)
+    for w in range(SCAN_WINDOWS):
+        bit = w * SCAN_BITS
+        idx, sh = bit // 64, np.uint64(bit % 64)
+        lo = limbs[:, idx] >> sh
+        if int(sh) and idx + 1 < 4:
+            lo = lo | (limbs[:, idx + 1] << (np.uint64(64) - sh))
+        digits[w] = (lo & mask).astype(np.int32)
+    if inf_mask is not None:
+        digits[:, inf_mask] = 0
+    return digits
 
 
 def _round_pow2(x: int, lo: int = 1) -> int:
@@ -99,7 +124,8 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
     fold = n <= (1 << 15)
     from . import sched_native
 
-    native = sched_native.build_schedule_arrays(digits, lanes0, R0, fold)
+    native = sched_native.build_schedule_arrays(digits, SCAN_BUCKETS,
+                                                lanes0, R0, fold)
     if native is not None:
         perm, flag_bits, dense, K = native
         Kp = _round_pow2(K)
@@ -108,7 +134,7 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
                         K=Kp, n_points=n)
 
     keys = (
-        np.arange(w, dtype=np.int32)[:, None] * N_BUCKETS + digits
+        np.arange(w, dtype=np.int32)[:, None] * SCAN_BUCKETS + digits
     ).astype(np.uint16).reshape(-1)
     order = np.argsort(keys, kind="stable").astype(np.int32)
     skeys = keys[order]
@@ -136,7 +162,7 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
                           R * lanes + np.arange(lanes)])
     key = np.concatenate([keys_col[er, el], keys_col[R - 1, :]]).astype(
         np.int64)
-    valid = (key < int(SENT)) & (key % N_BUCKETS != 0)
+    valid = (key < int(SENT)) & (key % SCAN_BUCKETS != 0)
     pos, key = pos[valid], key[valid]
     o = np.argsort(key.astype(np.uint16), kind="stable")
     pos, key = pos[o], key[o]
@@ -150,7 +176,7 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
     K = _round_pow2(int(occ.max()) + 1 if len(occ) else 1)
     # emit position 0 is row 0 of lane 0 -- always the identity (every
     # lane's first flag emits the initial carry), the default filler
-    dense_idx = np.zeros((K, w * N_BUCKETS), np.int32)
+    dense_idx = np.zeros((K, w * SCAN_BUCKETS), np.int32)
     dense_idx[occ, key] = pos
 
     flag_rows = np.ones((R + 1, lanes), bool)
@@ -172,14 +198,14 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
 
 @functools.lru_cache(maxsize=1)
 def _subset_idx():
-    """Fixed gather of the bit-subset groups: (8 bits x 32 windows x 128
-    digits-with-bit-set) into the dense (W*256) bucket layout; group order
-    t*N_WINDOWS + w matches msm_fast._finish_host's finals layout."""
-    idx = np.zeros((WINDOW_BITS, N_WINDOWS, N_BUCKETS // 2), np.int32)
-    for t in range(WINDOW_BITS):
-        ds = np.flatnonzero((np.arange(N_BUCKETS) >> t) & 1)
-        for wi in range(N_WINDOWS):
-            idx[t, wi] = wi * N_BUCKETS + ds
+    """Fixed gather of the bit-subset groups: (c bits x W windows x 2^(c-1)
+    digits-with-bit-set) into the dense (W * 2^c) bucket layout; group
+    order t*W + w matches msm_fast._finish_host's finals layout."""
+    idx = np.zeros((SCAN_BITS, SCAN_WINDOWS, SCAN_BUCKETS // 2), np.int32)
+    for t in range(SCAN_BITS):
+        ds = np.flatnonzero((np.arange(SCAN_BUCKETS) >> t) & 1)
+        for wi in range(SCAN_WINDOWS):
+            idx[t, wi] = wi * SCAN_BUCKETS + ds
     return jnp.asarray(idx.reshape(-1))
 
 
@@ -315,10 +341,16 @@ def _device_msm(pool, perm, flag_bits, dense_idx, subset_idx, curve, R,
     def padd(a, b):
         m = a.shape[1]
         if fused:
-            call = pairs_add_call(L.FQ.modulus, curve, m, interpret)
-            out = call(a.reshape(C, m // 128, 128),
-                       b.reshape(C, m // 128, 128))
-            return out.reshape(C, m)
+            # pad to a lane-tile multiple; the padded adds are garbage
+            # lanes that are sliced away (complete adds cannot fault)
+            mp = -(-m // 128) * 128
+            if mp != m:
+                a = jnp.pad(a, ((0, 0), (0, mp - m)))
+                b = jnp.pad(b, ((0, 0), (0, mp - m)))
+            call = pairs_add_call(L.FQ.modulus, curve, mp, interpret)
+            out = call(a.reshape(C, mp // 128, 128),
+                       b.reshape(C, mp // 128, 128))
+            return out.reshape(C, mp)[:, :m]
         from .pallas_curve import _coords, _flat, kernel_pack
 
         P = _coords(_unpack2(a), curve, 3 if curve == "g1" else 6)
@@ -330,15 +362,15 @@ def _device_msm(pool, perm, flag_bits, dense_idx, subset_idx, curve, R,
     for k in range(1, K):
         merged = padd(merged, dense[:, k])
 
-    sub = merged[:, subset_idx]  # (C, 8*32*128)
-    h = N_BUCKETS // 2
-    x = sub.reshape(C, WINDOW_BITS * N_WINDOWS, h)
+    sub = merged[:, subset_idx]  # (C, c * W * 2^(c-1))
+    h = SCAN_BUCKETS // 2
+    x = sub.reshape(C, SCAN_BITS * SCAN_WINDOWS, h)
     while h > 1:
         h //= 2
         a = x[:, :, :h].reshape(C, -1)
         b = x[:, :, h:2 * h].reshape(C, -1)
-        x = padd(a, b).reshape(C, WINDOW_BITS * N_WINDOWS, h)
-    finals = x[:, :, 0]  # (C, 256) packed
+        x = padd(a, b).reshape(C, SCAN_BITS * SCAN_WINDOWS, h)
+    finals = x[:, :, 0]  # (C, c * W) packed
 
     lo = finals & 0xFFFF
     hi = finals >> 16
@@ -395,7 +427,8 @@ def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
 
 def msm_end(handle):
     g, curve = handle
-    return _finish_host(g, curve)
+    return _finish_host(g, curve, window_bits=SCAN_BITS,
+                        n_windows=SCAN_WINDOWS)
 
 
 def msm_g1_prepared(prepared, scalars):

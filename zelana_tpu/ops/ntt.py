@@ -109,6 +109,14 @@ def make_plan(min_size: int) -> NttPlan:
     )
 
 
+def _use_fused_butterfly(n: int) -> bool:
+    import os
+
+    if os.environ.get("ZELANA_FORCE_PALLAS") == "1":
+        return True
+    return jax.default_backend() != "cpu" and n >= 4096
+
+
 @jax.jit
 def _ntt_core(x, stage_twiddles, bitrev):
     """x: (16, n) Montgomery limbs -> (16, n) evaluations (natural order).
@@ -120,6 +128,12 @@ def _ntt_core(x, stage_twiddles, bitrev):
     n = x.shape[1]
     x = jnp.take(x, bitrev, axis=1)
     log_n = n.bit_length() - 1
+    fused = _use_fused_butterfly(n)
+    if fused:
+        from .pallas_field import butterfly_call
+
+        call = butterfly_call(L.FR.modulus, n // 2,
+                              jax.default_backend() == "cpu")
     for s in range(log_n):
         half = 1 << s
         groups = n // (2 * half)
@@ -129,9 +143,21 @@ def _ntt_core(x, stage_twiddles, bitrev):
         tw = jnp.broadcast_to(
             stage_twiddles[s][:, None, :], (L.NLIMBS, groups, half)
         )
-        bt = L.mont_mul(b, tw, L.FR)
-        even = L.add(a, bt, L.FR)
-        odd = L.sub(a, bt, L.FR)
+        if fused:
+            # one fused Pallas butterfly: multiply + both modular
+            # reductions in VMEM (pallas_field.butterfly_call); the XLA
+            # expression of the carry chains is ~100 elementwise HBM
+            # round trips per stage
+            a3 = a.reshape(L.NLIMBS, n // 256, 128)
+            b3 = b.reshape(L.NLIMBS, n // 256, 128)
+            t3 = tw.reshape(L.NLIMBS, n // 256, 128)
+            even, odd = call(a3, b3, t3)
+            even = even.reshape(L.NLIMBS, groups, half)
+            odd = odd.reshape(L.NLIMBS, groups, half)
+        else:
+            bt = L.mont_mul(b, tw, L.FR)
+            even = L.add(a, bt, L.FR)
+            odd = L.sub(a, bt, L.FR)
         x = jnp.stack([even, odd], axis=2).reshape(L.NLIMBS, n)
     return x
 

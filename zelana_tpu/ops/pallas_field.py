@@ -330,3 +330,83 @@ def mont_mul_pallas(a, b, spec: L.FieldSpec):
     b3 = b.reshape(L.NLIMBS, padded // 128, 128)
     out = _mont_mul_call(spec.modulus, padded, interpret)(a3, b3)
     return out.reshape(L.NLIMBS, padded)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# fused NTT butterfly stage: (a, b, tw) -> (a + tw*b, a - tw*b) in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# A radix-2 stage expressed as XLA ops pays one Pallas multiply plus ~100
+# elementwise ops of unrolled carry chains for the modular add/sub -- all
+# HBM round trips at (16, n/2) width. Fusing the multiply and both
+# reductions into a single kernel keeps the butterfly in VMEM: one read of
+# a/b/tw, one write of even/odd (ops/ntt.py dispatches here on TPU).
+
+BF_SUB = 8  # sublane rows per butterfly block
+
+
+def _mod_add_sub(spec_mod: int):
+    p16 = [(spec_mod >> (16 * i)) & 0xFFFF for i in range(L.NLIMBS)]
+
+    def p_like(a):
+        return jnp.stack(
+            [jnp.full(a.shape[1:], c, jnp.uint32) for c in p16]
+        )
+
+    def add_raw(a, b):
+        outs = []
+        carry = jnp.zeros_like(a[0])
+        for i in range(L.NLIMBS):
+            v = a[i] + b[i] + carry
+            outs.append(v & 0xFFFF)
+            carry = v >> 16
+        return jnp.stack(outs)
+
+    def sub_raw(a, b):
+        outs = []
+        borrow = jnp.zeros_like(a[0], dtype=jnp.int32)
+        for i in range(L.NLIMBS):
+            v = a[i].astype(jnp.int32) - b[i].astype(jnp.int32) - borrow
+            outs.append((v & 0xFFFF).astype(jnp.uint32))
+            borrow = (v < 0).astype(jnp.int32)
+        return jnp.stack(outs), borrow
+
+    def add_mod(a, b):
+        s = add_raw(a, b)
+        d, bor = sub_raw(s, p_like(a))
+        return jnp.where(bor == 0, d, s)
+
+    def sub_mod(a, b):
+        d, bor = sub_raw(a, b)
+        corr = add_raw(d, p_like(a))
+        return jnp.where(bor == 1, corr, d)
+
+    return add_mod, sub_mod
+
+
+@functools.lru_cache(maxsize=None)
+def butterfly_call(modulus: int, n_half: int, interpret: bool):
+    """call(a, b, tw) -> (even, odd), all (16, n_half//128, 128) u32."""
+    mul = _sos_mul_fn(modulus)
+    add_mod, sub_mod = _mod_add_sub(modulus)
+
+    def kernel(a_ref, b_ref, tw_ref, e_ref, o_ref):
+        a = a_ref[...]
+        bt = mul(b_ref[...], tw_ref[...])
+        e_ref[...] = add_mod(a, bt)
+        o_ref[...] = sub_mod(a, bt)
+
+    rows = min(BF_SUB, n_half // 128)
+    spec = pl.BlockSpec((L.NLIMBS, rows, 128), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_half // (rows * 128),),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((L.NLIMBS, n_half // 128, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((L.NLIMBS, n_half // 128, 128), jnp.uint32),
+        ),
+        interpret=interpret,
+    )

@@ -37,17 +37,17 @@ def load():
         return None
     lib.zelana_build_scan_schedule.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
     ]
     lib.zelana_build_scan_schedule.restype = ctypes.c_int
     return lib
 
 
-def build_schedule_arrays(digits: np.ndarray, lanes: int, R: int,
+def build_schedule_arrays(digits: np.ndarray, nb: int, lanes: int, R: int,
                           fold_bit15: bool, kmax: int = 16):
     """Returns (perm u16 (R+1, L), flag_bits u32 (R+1, L/32),
-    dense_idx (K, w*256) i32, K) or None."""
+    dense_idx (K, w*nb) i32, K) or None."""
     lib = load()
     if lib is None:
         return None
@@ -55,10 +55,10 @@ def build_schedule_arrays(digits: np.ndarray, lanes: int, R: int,
     digits_c = np.ascontiguousarray(digits, dtype=np.int32)
     perm = np.empty((R + 1, lanes), np.uint16)
     flag_bits = np.zeros((R + 1, lanes // 32), np.uint32)
-    dense = np.zeros((kmax, w * 256), np.int32)
+    dense = np.zeros((kmax, w * nb), np.int32)
     meta = np.zeros(1, np.int64)
     rc = lib.zelana_build_scan_schedule(
-        digits_c.ctypes.data, w, n, lanes, R, 1 if fold_bit15 else 0,
+        digits_c.ctypes.data, w, n, nb, lanes, R, 1 if fold_bit15 else 0,
         perm.ctypes.data, flag_bits.ctypes.data, dense.ctypes.data,
         kmax, meta.ctypes.data,
     )

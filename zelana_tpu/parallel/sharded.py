@@ -362,13 +362,13 @@ def sharded_msm_scan_begin(pool_shards, schedules, mesh: Mesh,
             merged = padd(merged, recv)
 
         sub = merged[:, subset]
-        h = N_BUCKETS // 2
-        x = sub.reshape(C, 8 * N_WINDOWS, h)
+        h = MS.SCAN_BUCKETS // 2
+        x = sub.reshape(C, MS.SCAN_BITS * MS.SCAN_WINDOWS, h)
         while h > 1:
             h //= 2
             a = x[:, :, :h].reshape(C, -1)
             b = x[:, :, h:2 * h].reshape(C, -1)
-            x = padd(a, b).reshape(C, 8 * N_WINDOWS, h)
+            x = padd(a, b).reshape(C, MS.SCAN_BITS * MS.SCAN_WINDOWS, h)
         finals = x[:, :, 0]
         lo = finals & 0xFFFF
         hi = finals >> 16
@@ -388,9 +388,9 @@ def sharded_msm_scan(points, scalars, mesh: Mesh, curve: str = "g1",
                      axis: str = "dp"):
     """Full sharded MSM from python points/scalars (N % D == 0)."""
     from ..ops import msm_scan as MS
-    from ..ops.msm import scalar_digits
     from ..ops.msm_fast import _finish_host
 
+    scalar_digits = MS.scalar_digits
     D = int(np.prod(mesh.devices.shape))
     n = len(points)
     assert n % D == 0
@@ -405,7 +405,8 @@ def sharded_msm_scan(points, scalars, mesh: Mesh, curve: str = "g1",
     pool_shards = jnp.stack(pools)
     handle = sharded_msm_scan_begin(pool_shards, schedules, mesh, curve,
                                     axis)
-    return _finish_host(handle[0], curve)
+    return _finish_host(handle[0], curve, window_bits=MS.SCAN_BITS,
+                        n_windows=MS.SCAN_WINDOWS)
 
 
 # ---------------------------------------------------------------------------
@@ -446,8 +447,8 @@ def msm_begin_sharded(prepared, scalars, mesh: Mesh, digits=None,
     per-shard schedules (host, overlappable), dispatch the shard_map
     program. Sync with ops.msm_fast._finish_host via msm_scan.msm_end."""
     from ..ops import msm_scan as MS
-    from ..ops.msm import scalar_digits
 
+    scalar_digits = MS.scalar_digits
     pool_shards, infs, curve, n, shard = prepared
     D = pool_shards.shape[0]
     scalars = list(scalars) + [0] * (D * shard - n)

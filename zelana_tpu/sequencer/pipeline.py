@@ -387,6 +387,20 @@ class PipelineOrchestrator:
         self._settle_retries = 0
         note_position = self.shielded.tree.next_index  # pre-commit position
         self.batches.batch_settled(batch, result.signature)
+        # batched L1 withdrawal execution (settler.rs:694-860): settlers
+        # with an execute_withdrawals leg get one WithdrawAttested per
+        # finalized withdrawal, nullifier = the withdrawal tx hash
+        if hasattr(self.settler, "execute_withdrawals"):
+            l1_wds = []
+            for tx in batch.transactions:
+                if isinstance(tx, Withdraw):
+                    l1_wds.append(
+                        (tx.to_l1_address, tx.amount, tx_hash(tx)))
+            if l1_wds:
+                try:
+                    self.settler.execute_withdrawals(l1_wds)
+                except Exception:
+                    pass  # L1 withdrawal execution retries ride the queue
         for i, cm in enumerate(batch.diff.new_commitments):
             ciphertext = self._pending_notes.pop(cm, None)
             if ciphertext is not None:

@@ -262,3 +262,94 @@ def build_witness(batch, get_account) -> BatchWitness:
         transactions=list(batch.transactions), initial_accounts=initial,
         shielded_commitments=cms,
     )
+
+
+class NoirProverClient:
+    """BatchProver over a remote prover-coordinator's /v2/batch/prove job
+    API (core/src/sequencer/settlement/noir_client.rs): ships the batch as
+    the coordinator-shaped request, follows the SSE status stream, and
+    returns the chunked sunspot proofs as one BatchProof (proof bytes =
+    last chunk's 388B proof + 236B witness, the 624-byte combined format
+    the settler autodetects; every chunk is retrievable from the job)."""
+
+    def __init__(self, coordinator_url: str, timeout: float = 300.0):
+        from ..sdk.client import ApiClient
+
+        self.api = ApiClient(coordinator_url, timeout=10.0)
+        self.timeout = timeout
+        self.vk_hash = hashlib.blake2b(b"zelana-noir-client-v1",
+                                       digest_size=32).digest()
+        self.last_result: Optional[dict] = None
+
+    @staticmethod
+    def _pk_int(pk: bytes) -> int:
+        from ..fields.bn254 import R as FR_MOD
+        from ..fields.fp import from_le_bytes_mod_order
+
+        return from_le_bytes_mod_order(pk, FR_MOD)
+
+    def build_request(self, inputs: BatchPublicInputs,
+                      witness: BatchWitness) -> dict:
+        accounts = [
+            {"pk": self._pk_int(pk), "balance": bal}
+            for pk, bal in witness.initial_accounts.items()
+        ]
+        transfers = [
+            [self._pk_int(t.signer_pubkey), self._pk_int(t.to), t.amount]
+            for t in witness.transactions if isinstance(t, Transfer)
+        ]
+        withdrawals = [
+            [self._pk_int(t.from_), self._pk_int(t.to_l1_address), t.amount]
+            for t in witness.transactions if isinstance(t, Withdraw)
+        ]
+        shielded = [
+            self._pk_int(t.commitment)
+            for t in witness.transactions if isinstance(t, Shielded)
+        ]
+        return {
+            "batch_id": inputs.batch_id,
+            "accounts": accounts,
+            "transfers": transfers,
+            "withdrawals": withdrawals,
+            "shielded_commitments": shielded,
+        }
+
+    def prove(self, inputs: BatchPublicInputs,
+              witness: BatchWitness) -> BatchProof:
+        start = time.time()
+        job = self.api.prove_batch(self.build_request(inputs, witness))
+        result = self.api.wait_for_proof(job, timeout=self.timeout)
+        self.last_result = result
+        last = result["chunks"][-1]
+        proof_bytes = (bytes.fromhex(last["proof"])
+                       + bytes.fromhex(last.get("public_witness", "")))
+        return BatchProof(inputs, proof_bytes,
+                          int((time.time() - start) * 1000))
+
+    def verify(self, proof: BatchProof) -> bool:
+        from .settler import is_noir_proof
+
+        return is_noir_proof(proof)
+
+    def verification_key_hash(self) -> bytes:
+        return self.vk_hash
+
+
+def build_prover_from_config(cfg):
+    """Prover selection with silent MockProver fallback, mirroring
+    pipeline.rs:217-281: Groth16 when a proving key loads, Noir when a
+    coordinator URL is configured, Mock otherwise (and on any load
+    failure)."""
+    mode = (cfg.prover_mode or "mock").lower()
+    if not getattr(cfg, "mock_prover", False):
+        if mode == "groth16" and getattr(cfg, "proving_key", None):
+            try:
+                return Groth16Prover.from_files(cfg.proving_key)
+            except Exception:
+                pass  # fall through to mock (reference logs + falls back)
+        if mode == "noir" and getattr(cfg, "noir_coordinator_url", None):
+            try:
+                return NoirProverClient(cfg.noir_coordinator_url)
+            except Exception:
+                pass
+    return MockProver()
