@@ -145,10 +145,24 @@ def main():
     # speed-of-light context for the record: the scan does ~NW complete
     # Z2=1 adds of 11 muls each; the fused multiplier chain rate bounds
     # the device at ~N*32*11/chain_rate; report the achieved fraction
-    sol = msm_n * 32 * 11 / (mulps if mulps else 1)
+    from zelana_tpu.ops.msm_scan import SCAN_WINDOWS
+    sol = msm_n * SCAN_WINDOWS * 11 / (mulps if mulps else 1)
     log(f"device mul-bound SoL: {sol * 1e3:.0f} ms/msm "
         f"-> achieved {sol / dt * 100:.0f}% of mul-bound "
         f"(rest: host->device link + fixed costs)")
+
+    baseline_mpps = 10.0  # arkworks CPU multicore Pippenger, order of magnitude
+    print(
+        json.dumps(
+            {
+                "metric": "msm_g1_throughput",
+                "value": round(mpps, 4),
+                "unit": "Mpoints/s",
+                "vs_baseline": round(mpps / baseline_mpps, 4),
+            }
+        )
+    )
+    sys.stdout.flush()
 
     # --- secondary: end-to-end Groth16 prove (proofs/sec) ----------------
     # the BASELINE's first-named metric: full witness-map + 5 MSMs + host
@@ -160,7 +174,25 @@ def main():
         from zelana_tpu.groth16.verify import verify as g16_verify
         from zelana_tpu.groth16.prove import public_inputs_of
 
+        from zelana_tpu.circuits.l2_block import (
+            compute_batch_hash,
+            compute_state_root,
+            compute_withdrawal_root,
+        )
+
         circuit = L2BlockCircuit.dummy()
+        # the dummy fixes the keygen SHAPE; fill the public inputs so the
+        # same-shape instance is satisfiable for proving
+        final = dict(circuit.initial_accounts)
+        for t in circuit.transactions:
+            final[t.sender_pk] -= t.amount
+            final[t.recipient_pk] = final.get(t.recipient_pk, 0) + t.amount
+        circuit.pre_state_root = compute_state_root(
+            circuit.batch_id, circuit.initial_accounts)
+        circuit.post_state_root = compute_state_root(circuit.batch_id, final)
+        circuit.withdrawal_root = compute_withdrawal_root(circuit.withdrawals)
+        circuit.batch_hash = compute_batch_hash(
+            circuit.batch_id, circuit.transactions)
         t0 = time.time()
         pk = g16_keygen(circuit, seed=0)
         log(f"keygen (dummy L2 circuit): {time.time()-t0:.1f} s")
@@ -176,17 +208,6 @@ def main():
     except Exception as exc:  # keep the primary metric alive regardless
         log(f"prove bench skipped: {exc}")
 
-    baseline_mpps = 10.0  # arkworks CPU multicore Pippenger, order of magnitude
-    print(
-        json.dumps(
-            {
-                "metric": "msm_g1_throughput",
-                "value": round(mpps, 4),
-                "unit": "Mpoints/s",
-                "vs_baseline": round(mpps / baseline_mpps, 4),
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

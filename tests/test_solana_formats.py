@@ -153,3 +153,78 @@ def test_risc0_claim_digest_path():
         risc0_public_inputs(b"\x00" * 32)
     lo, hi = _split_digest(bytes(range(32)))
     assert lo != hi
+
+
+def test_alt_bn128_syscall_model_edges():
+    """EVM-convention syscall semantics: infinity encoding, off-curve and
+    out-of-range rejection, G2 subgroup validation (real since the
+    mul-reduces-mod-r fix), pairing of empty/identity pairs."""
+    import pytest as _pytest
+
+    from zelana_tpu.curves import g1 as G1
+    from zelana_tpu.curves import g2 as G2
+    from zelana_tpu.fields.bn254 import P as Q
+    from zelana_tpu.sequencer.solana_syscalls import (
+        SyscallError,
+        alt_bn128_addition,
+        alt_bn128_multiplication,
+        alt_bn128_pairing,
+        decode_g1,
+        decode_g2,
+        encode_g1,
+        encode_g2,
+    )
+
+    g = G1.generator()
+    # add P + (-P) = infinity (all-zero encoding)
+    out = alt_bn128_addition(encode_g1(g) + encode_g1(G1.neg(g)))
+    assert out == b"\x00" * 64
+    # scalar mul by 0 and by r give infinity
+    from zelana_tpu.fields.bn254 import R as FR
+
+    assert alt_bn128_multiplication(
+        encode_g1(g) + (0).to_bytes(32, "big")) == b"\x00" * 64
+    assert alt_bn128_multiplication(
+        encode_g1(g) + FR.to_bytes(32, "big")) == b"\x00" * 64
+    # 2 * G matches the group law
+    two_g = decode_g1(alt_bn128_multiplication(
+        encode_g1(g) + (2).to_bytes(32, "big")))
+    assert two_g == G1.add(g, g)
+
+    # off-curve point rejected
+    with _pytest.raises(SyscallError):
+        decode_g1((5).to_bytes(32, "big") + (7).to_bytes(32, "big"))
+    # coordinate >= q rejected
+    with _pytest.raises(SyscallError):
+        decode_g1(Q.to_bytes(32, "big") + (1).to_bytes(32, "big"))
+
+    # G2: generator round-trips; a curve point OUTSIDE the r-torsion is
+    # rejected (cofactor-order component)
+    q2 = G2.generator()
+    assert decode_g2(encode_g2(q2)) == q2
+    from zelana_tpu.fields import tower as tw
+    from zelana_tpu.groth16.stdrng import StdRng, rand_fp
+
+    rng = StdRng.seed_from_u64(5)
+    while True:
+        x = (rand_fp(rng, Q), rand_fp(rng, Q))
+        b = tw.fq2_scale(tw.fq2_inv((9, 1)), 3)
+        rhs = tw.fq2_add(tw.fq2_mul(tw.fq2_sqr(x), x), b)
+        y = tw.fq2_sqrt(rhs)
+        if y is not None:
+            break
+    raw_pt = (x, y)  # on the twist, (almost surely) not in the subgroup
+    if not G2.in_subgroup(raw_pt):
+        with _pytest.raises(SyscallError):
+            decode_g2(encode_g2(raw_pt))
+
+    # pairing: e(G1, G2) alone != 1; with its inverse pair == 1
+    one = alt_bn128_pairing(
+        encode_g1(g) + encode_g2(q2)
+        + encode_g1(G1.neg(g)) + encode_g2(q2))
+    assert one[31] == 1
+    not_one = alt_bn128_pairing(encode_g1(g) + encode_g2(q2))
+    assert not_one[31] == 0
+    # infinity pairs are skipped (e(O, Q) = 1)
+    trivial = alt_bn128_pairing(b"\x00" * 64 + encode_g2(q2))
+    assert trivial[31] == 1

@@ -25,7 +25,7 @@ def main():
     from zelana_tpu.fields.bn254 import R as FR
     from zelana_tpu.ops import limbs as L
     from zelana_tpu.ops import msm_scan as MS
-    from zelana_tpu.ops.msm import scalar_digits
+    from zelana_tpu.ops.msm_scan import scalar_digits
     from zelana_tpu.ops.pallas_curve import runscan_call
 
     print("devices:", jax.devices(), file=sys.stderr)

@@ -24,7 +24,7 @@ def main():
     from zelana_tpu.curves import g1 as G1
     from zelana_tpu.fields.bn254 import R as FR
     from zelana_tpu.ops import msm_scan as MS
-    from zelana_tpu.ops.msm import scalar_digits
+    from zelana_tpu.ops.msm_scan import scalar_digits
 
     print("devices:", jax.devices(), file=sys.stderr)
     LOGN = int(os.environ.get("LOGN", "14"))

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Keygen + prove ONE full-capacity 8/4/4 depth-32 chunk on the TPU.
+
+The production chunk shape (forge zelana_batch/main.nr:27-30): ~1.6M
+constraints. One proving key serves every chunk of the network; this
+script builds it, proves a maximally-occupied chunk (8 transfers + 4
+withdrawals + 4 shielded with real intermediate SMT paths), verifies, and
+reports phase timings. Artifacts cache to --keydir so reruns skip keygen.
+
+    python tools/prove_chunk_full.py [--capacity 8/4/4] [--depth 32]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--capacity", default="8/4/4")
+    parser.add_argument("--depth", type=int, default=32)
+    parser.add_argument("--keydir", default="/tmp/zelana_chunk_keys")
+    args = parser.parse_args()
+    cap = tuple(int(x) for x in args.capacity.split("/"))
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/zelana_tpu_xla_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from zelana_tpu.groth16.keys import ProvingKey
+    from zelana_tpu.r1cs.system import ConstraintSystem
+    from zelana_tpu.runtime.chunk_prover import Groth16ChunkProver
+    from zelana_tpu.runtime.chunk_witness import ChunkWitnessBuilder
+    from zelana_tpu.runtime.coordinator import Dispatcher
+
+    print("devices:", jax.devices(), file=sys.stderr)
+
+    t0 = time.time()
+    circuit = Groth16ChunkProver.dummy_circuit(cap, args.depth)
+    cs = ConstraintSystem()
+    circuit.generate_constraints(cs)
+    n_constraints = len(cs.matrices()[0])
+    print(f"synthesis: {time.time()-t0:.1f}s, {n_constraints} constraints, "
+          f"{cs.num_instance + cs.num_witness} vars", file=sys.stderr)
+
+    os.makedirs(args.keydir, exist_ok=True)
+    key_path = os.path.join(
+        args.keydir, f"chunk_{cap[0]}_{cap[1]}_{cap[2]}_d{args.depth}.pk")
+    if os.path.exists(key_path):
+        t0 = time.time()
+        with open(key_path, "rb") as f:
+            pk = ProvingKey.deserialize_compressed(f.read())
+        prover = Groth16ChunkProver(pk, cap, args.depth)
+        print(f"key loaded: {time.time()-t0:.1f}s", file=sys.stderr)
+    else:
+        t0 = time.time()
+        prover = Groth16ChunkProver.setup(cap, args.depth)
+        dt = time.time() - t0
+        print(f"keygen: {dt:.1f}s", file=sys.stderr)
+        with open(key_path, "wb") as f:
+            f.write(prover.pk.serialize_compressed())
+
+    # a maximally-occupied chunk with real intermediate Merkle paths
+    builder = ChunkWitnessBuilder(args.depth)
+    for pk_i in range(1, 16):
+        builder.fund(pk_i, 10_000)
+    transfers = [(1 + (i % 8), 1 + ((i + 3) % 8), 10 + i)
+                 for i in range(cap[0])]
+    withdrawals = [(1 + i, 0xAA00 + i, 5 + i) for i in range(cap[1])]
+    shielded = [1000 + i for i in range(cap[2])]
+    chunks = Dispatcher.build_chunks_with_witness(
+        builder, transfers, withdrawals, shielded, capacity=cap)
+    assert len(chunks) == 1
+
+    t0 = time.time()
+    cp = prover.prove_chunk(chunks[0], batch_id=7)
+    dt = time.time() - t0
+    print(f"prove (full {cap[0]}/{cap[1]}/{cap[2]} chunk): {dt:.1f}s "
+          f"({cp.proving_time_ms} ms reported)", file=sys.stderr)
+
+    t0 = time.time()
+    ok = prover.verify_chunk(cp)
+    print(f"verify: {ok} in {time.time()-t0:.1f}s", file=sys.stderr)
+    assert ok, "full-capacity chunk proof failed verification"
+    print(f"OK: {n_constraints}-constraint chunk proved in {dt:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

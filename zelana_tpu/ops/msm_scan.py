@@ -54,14 +54,17 @@ from .msm_fast import _finish_host
 
 LANES = 8192  # stream lanes; rows R = padded_stream / LANES
 
-# Window size: 11-bit windows cut the digit stream (and with it both the
-# per-MSM upload and the scan's add count) from 254/8 = 32 to 24 digits
-# per point vs the classic byte windows; the cost moves to the dense
-# bucket space (24 x 2048) and the subset tree, which grow ~linearly in
-# 2^c but stay < 15% of the scan at 2^16. Keys (w * 2^c + d) must fit
-# uint16 for the sort and the native scheduler: c = 11 -> max key 49151.
+# Window size. 11-bit windows cut the digit stream (and with it both the
+# per-MSM upload and the scan's add count) 25% on paper, but MEASURED
+# 3.5x SLOWER end to end on the bench slice (555 ms vs 158 ms pipelined
+# at 2^16): the dense bucket space grows 6x (24 x 2048) and the
+# bucket-phase gathers + K-layer merge + 10-level subset tree ride this
+# device's pathologically slow XLA gather (~30 ns/row) and dwarf the
+# stream saving. Byte windows stay the default; larger windows are a
+# real-hardware option via ZELANA_SCAN_WINDOW_BITS. Keys (w * 2^c + d)
+# must fit uint16 for the sort and the native scheduler.
 SCAN_BITS = int(__import__("os").environ.get("ZELANA_SCAN_WINDOW_BITS",
-                                             "11"))
+                                             "8"))
 SCAN_WINDOWS = -(-254 // SCAN_BITS)
 SCAN_BUCKETS = 1 << SCAN_BITS
 assert SCAN_WINDOWS * SCAN_BUCKETS <= 0xFFFF, "keys must fit uint16"
