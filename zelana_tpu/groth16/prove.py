@@ -187,6 +187,99 @@ def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
     return Proof(a=g_a, b=g_b2, c=c_pt)
 
 
+def witness_map_dispatch_native(system):
+    """witness_map_dispatch over a r1cs.native_synth.NativeSystem: the
+    sparse A.z/B.z/C.z evaluations run in C (Montgomery-form output, so no
+    per-element host conversion), then the same device NTT chain."""
+    from ..poly.domain import Domain
+    from ..r1cs.native_synth import limbs16
+
+    nc, ni = system.num_constraints, system.num_instance
+    domain = Domain.new(nc + ni)
+    plan = NTT.make_plan(domain.size)
+
+    # A gets the identity block over the instance assignment appended
+    # (input-consistency rows), same as matrix_vector_evals(input_rows=True)
+    inst_cols = np.asarray(
+        L.encode_mont(system.instance_ints(), L.FR), dtype=np.uint32)
+    a_rows = np.concatenate(
+        [limbs16(system.matvec("A", mont=True)), inst_cols], axis=1)
+    b_rows = limbs16(system.matvec("B", mont=True))
+    c_rows = limbs16(system.matvec("C", mont=True))
+
+    def pad(cols):
+        n_have = cols.shape[1]
+        if n_have < domain.size:
+            cols = np.concatenate(
+                [cols, np.zeros((16, domain.size - n_have), np.uint32)],
+                axis=1)
+        return jnp.asarray(cols)
+
+    dev = [pad(c) for c in (a_rows, b_rows, c_rows)]
+    coeffs = [NTT.intt(x, plan) for x in dev]
+    cosets = [NTT.coset_ntt(x, plan) for x in coeffs]
+    ab = L.mont_mul(cosets[0], cosets[1], L.FR)
+    num = L.sub(ab, cosets[2], L.FR)
+    z_inv = pow(domain.evaluate_vanishing_on_coset(), FR - 2, FR)
+    z_inv_m = L.broadcast_scalar(L.encode_mont([z_inv], L.FR)[:, 0],
+                                 num.shape[1:])
+    h_evals = L.mont_mul(num, z_inv_m, L.FR)
+    h_coeffs = NTT.coset_intt(h_evals, plan)
+    return h_coeffs, domain.size
+
+
+def prove_synthesized(pk: ProvingKey, system, batch_id: int = 0,
+                      check: bool = True) -> Proof:
+    """prove() over a natively-synthesized system (production chunk path:
+    the host side -- synthesis, satisfaction check, matvec, digit
+    decomposition -- is C/numpy instead of per-element Python)."""
+    if check:
+        bad = system.check()
+        if bad != -1:
+            raise ValueError(
+                f"constraint {bad} unsatisfied; witness invalid")
+    num_instance = system.num_instance
+
+    rng = StdRng.seed_from_u64(batch_id)
+    r = rand_fp(rng, FR)
+    s = rand_fp(rng, FR)
+
+    h_dev, m = witness_map_dispatch_native(system)
+    q = _prepared_queries(pk)
+    digits_z = MSM.scalar_digits(system.z)
+    z_ints = None
+    if q["mesh"] is not None:
+        z_ints = system.assignment_ints()
+    t_a = _msm_begin(q, "a", z_ints, "g1", digits=digits_z)
+    t_b1 = _msm_begin(q, "b1", z_ints, "g1", digits=digits_z)
+    from ..r1cs.native_synth import fr_ints, from_mont_limbs16
+
+    h_u64 = from_mont_limbs16(np.asarray(h_dev))[: m - 1]
+    digits_h = MSM.scalar_digits(h_u64)
+    h_ints = fr_ints(h_u64) if q["mesh"] is not None else None
+    t_h = _msm_begin(q, "h", h_ints, "g1", digits=digits_h)
+    t_b2 = _msm_begin(q, "b2", z_ints, "g2", digits=digits_z)
+    t_l = _msm_begin(
+        q, "l", z_ints[num_instance:] if z_ints is not None else None,
+        "g1", digits=digits_z[:, num_instance:])
+    g_a_sum = MSM.msm_end(t_a)
+    g_b1_sum = MSM.msm_end(t_b1)
+    h_sum = MSM.msm_end(t_h)
+    g_b2_sum = MSM.msm_end(t_b2)
+    l_sum = MSM.msm_end(t_l)
+
+    g_a = G1.add(G1.add(pk.vk.alpha_g1, g_a_sum), G1.mul(pk.delta_g1, r))
+    g_b1 = G1.add(G1.add(pk.beta_g1, g_b1_sum), G1.mul(pk.delta_g1, s))
+    g_b2 = G2.add(G2.add(pk.vk.beta_g2, g_b2_sum), G2.mul(pk.vk.delta_g2, s))
+
+    c_pt = G1.add(l_sum, h_sum)
+    c_pt = G1.add(c_pt, G1.mul(g_a, s))
+    c_pt = G1.add(c_pt, G1.mul(g_b1, r))
+    c_pt = G1.add(c_pt, G1.neg(G1.mul(pk.delta_g1, r * s % FR)))
+
+    return Proof(a=g_a, b=g_b2, c=c_pt)
+
+
 def public_inputs_of(circuit) -> list:
     """Instance values (excluding the leading ONE) for verification."""
     from ..r1cs.system import ConstraintSystem

@@ -70,6 +70,35 @@ def keygen(circuit, seed: int = 0) -> ProvingKey:
     A, B, C = cs.matrices()
     num_instance = cs.num_instance
     num_vars = num_instance + cs.num_witness
+    return _keygen_impl(A, B, C, num_instance, num_vars, seed, None)
+
+
+def keygen_synthesized(system, seed: int = 0) -> ProvingKey:
+    """keygen over a r1cs.native_synth.NativeSystem: the QAP evaluation at
+    t (Lagrange coefficients + per-variable accumulation over ~5M matrix
+    entries) runs in C instead of per-entry Python -- the difference
+    between ~minutes and ~seconds of host time at the production 8/4/4
+    chunk shape."""
+    return _keygen_impl(None, None, None, system.num_instance,
+                        system.num_vars, seed, system)
+
+
+def _qap_at_native(system, t: int, domain):
+    """evaluate_qap_at over the native CSR system. Returns (a, b, c, zt)."""
+    from ..r1cs.native_synth import fr_ints, lagrange_at
+
+    u, zt = lagrange_at(domain.group_gen, domain.size_inv, t, domain.size)
+    a = fr_ints(system.qap_accumulate("A", u))
+    b = fr_ints(system.qap_accumulate("B", u))
+    c = fr_ints(system.qap_accumulate("C", u))
+    u_tail = fr_ints(u[system.num_constraints:
+                       system.num_constraints + system.num_instance])
+    for i in range(system.num_instance):
+        a[i] = (a[i] + u_tail[i]) % FR
+    return a, b, c, zt
+
+
+def _keygen_impl(A, B, C, num_instance, num_vars, seed, system) -> ProvingKey:
 
     # rand 0.8 StdRng stream, sampled in ark-groth16's exact order
     # (generator.rs: alpha, beta, gamma, delta, G1::rand, G2::rand, then
@@ -85,13 +114,18 @@ def keygen(circuit, seed: int = 0) -> ProvingKey:
     # t outside the domain
     from ..poly.domain import Domain
 
-    domain = Domain.new(len(A) + num_instance)
+    num_constraints = system.num_constraints if system is not None else len(A)
+    domain = Domain.new(num_constraints + num_instance)
     while True:
         t = rand_fp(rng, FR)
         if domain.evaluate_vanishing_polynomial(t) != 0:
             break
 
-    a, b, c, zt, domain = evaluate_qap_at(A, B, C, num_instance, num_vars, t)
+    if system is not None:
+        a, b, c, zt = _qap_at_native(system, t, domain)
+    else:
+        a, b, c, zt, domain = evaluate_qap_at(
+            A, B, C, num_instance, num_vars, t)
 
     gamma_inv = pow(gamma, FR - 2, FR)
     delta_inv = pow(delta, FR - 2, FR)

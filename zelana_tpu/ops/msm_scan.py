@@ -72,10 +72,17 @@ assert SCAN_WINDOWS * SCAN_BUCKETS <= 0xFFFF, "keys must fit uint16"
 
 def scalar_digits(scalars, inf_mask=None) -> np.ndarray:
     """(SCAN_WINDOWS, N) int32 c-bit window digits; infinity points get
-    all-zero digits (they land in the dropped (w, 0) buckets)."""
-    n = len(scalars)
-    buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
-    limbs = np.frombuffer(buf, dtype="<u8").reshape(n, 4)
+    all-zero digits (they land in the dropped (w, 0) buckets).
+
+    `scalars`: list of ints, or an (N, 4) uint64 little-endian limb array
+    (the native-synthesis assignment format -- no per-element conversion)."""
+    if isinstance(scalars, np.ndarray):
+        limbs = np.ascontiguousarray(scalars, dtype=np.uint64)
+        n = len(limbs)
+    else:
+        n = len(scalars)
+        buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+        limbs = np.frombuffer(buf, dtype="<u8").reshape(n, 4)
     digits = np.empty((SCAN_WINDOWS, n), np.int32)
     mask = np.uint64(SCAN_BUCKETS - 1)
     for w in range(SCAN_WINDOWS):

@@ -75,8 +75,19 @@ class Groth16ChunkProver:
               seed: int = 0) -> "Groth16ChunkProver":
         """Keygen on the empty (all-invalid-slot) circuit -- the dummy is
         satisfiable because every gated constraint passes with zero
-        witnesses and the accumulators finalize over zero counts."""
+        witnesses and the accumulators finalize over zero counts.
+
+        Uses the native synthesis engine (csrc/chunk_synth.cpp) when
+        available -- at the production 8/4/4 depth-32 shape the Python
+        path's QAP evaluation alone is minutes of host time."""
+        from ..groth16.setup import keygen_synthesized
+        from ..r1cs.native_synth import synthesize_chunk
+
         circuit = cls.dummy_circuit(capacity, tree_depth)
+        system = synthesize_chunk(circuit)
+        if system is not None:
+            return cls(keygen_synthesized(system, seed=seed), capacity,
+                       tree_depth)
         return cls(keygen(circuit, seed=seed), capacity, tree_depth)
 
     @staticmethod
@@ -115,10 +126,16 @@ class Groth16ChunkProver:
 
     def prove_chunk(self, chunk: Chunk, batch_id: int) -> ChunkProof:
         from ..groth16.prove import prove as groth16_prove
+        from ..groth16.prove import prove_synthesized
+        from ..r1cs.native_synth import synthesize_chunk
 
         start = time.time()
         circuit = self.build_circuit(chunk, batch_id)
-        proof = groth16_prove(self.pk, circuit, batch_id=batch_id)
+        system = synthesize_chunk(circuit)
+        if system is not None:
+            proof = prove_synthesized(self.pk, system, batch_id=batch_id)
+        else:
+            proof = groth16_prove(self.pk, circuit, batch_id=batch_id)
         values = [
             circuit.pre_state_root, circuit.post_state_root,
             circuit.pre_shielded_root, circuit.post_shielded_root,
