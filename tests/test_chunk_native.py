@@ -180,6 +180,28 @@ def test_keygen_and_prove_native_match_python():
     assert g16_verify(pk_native.vk, proof_n, public_inputs_of(circuit))
 
 
+def test_proving_key_npz_roundtrip(tmp_path):
+    """The raw-coordinate key cache must round-trip exactly (including
+    points at infinity) -- it exists because compressed deserialization
+    pays one modular sqrt per point."""
+    from zelana_tpu.curves import g1 as G1, g2 as G2
+    from zelana_tpu.groth16.keys import ProvingKey, VerifyingKey
+
+    g = G1.generator()
+    pts = [g, G1.add(g, g), None, G1.add(G1.add(g, g), g)]
+    h = G2.generator()
+    pts2 = [h, G2.add(h, h), None]
+    vk = VerifyingKey(alpha_g1=g, beta_g2=h, gamma_g2=G2.add(h, h),
+                      delta_g2=pts2[1], gamma_abc_g1=pts[:2])
+    pk = ProvingKey(vk=vk, beta_g1=pts[1], delta_g1=pts[3],
+                    a_query=pts, b_g1_query=pts[:3], b_g2_query=pts2,
+                    h_query=pts[1:], l_query=[None, g])
+    path = str(tmp_path / "pk.npz")
+    pk.save_npz(path)
+    back = ProvingKey.load_npz(path)
+    assert back.serialize_compressed() == pk.serialize_compressed()
+
+
 def test_lagrange_matches_python():
     from zelana_tpu.groth16.qap import lagrange_coeffs_at
     from zelana_tpu.poly.domain import Domain

@@ -46,6 +46,17 @@ def test_msm_scan_g1_with_infinity_points():
     assert MS.msm_g1(pts, scalars) == expect
 
 
+def test_msm_scan_equal_scalars_level2():
+    """All-equal scalars concentrate every window's stream into ONE bucket
+    whose run spans many lanes -- the degenerate case the level-2 run-scan
+    merge exists for (the wide-window trap in miniature)."""
+    n = 96
+    pts = _g1_points(n)
+    s = 0x1234567890ABCDEF1234567890ABCDEF
+    scalars = [s] * n
+    assert MS.msm_g1(pts, scalars) == G1.msm(pts, scalars)
+
+
 def test_msm_scan_g2_matches_golden():
     r = random.Random(13)
     n = 12
@@ -69,7 +80,7 @@ def test_schedule_shapes_and_layers():
     rec = sum(int(digits[w, 0]) << (w * MS.SCAN_BITS)
               for w in range(MS.SCAN_WINDOWS))
     assert rec == scalars[0]
-    s = MS.build_schedule(digits)
+    s = MS.build_schedule(digits, level2=False)
     nw = digits.size
     lanes = s.perm.shape[1]
     assert s.perm.shape == (s.R + 1, lanes)
@@ -83,3 +94,18 @@ def test_schedule_shapes_and_layers():
     assert (s.dense_idx < (s.R + 1) * lanes).all()
     # layer 0 of every nonzero-digit bucket that appears is a real position
     assert (np.asarray(s.dense_idx[0]) != 0).any()
+
+    # two-level variant: dense entries index the LEVEL-2 emit buffer, the
+    # level-1 perm/flags are unchanged, and the level-2 stream covers one
+    # partial per appearing bucket
+    s2 = MS.build_schedule(digits, level2=True)
+    if s2.pos2 is not None:  # native builder available
+        assert (s2.perm == s.perm).all()
+        assert s2.pos2.shape == (s2.R2 + 1, s2.lanes2)
+        assert (s2.dense_idx >= 0).all()
+        assert (s2.dense_idx < (s2.R2 + 1) * s2.lanes2).all()
+        # level-2 positions point inside the level-1 emit buffer
+        pid2 = np.asarray(s2.pos2) & 0x7FFFFFFF
+        assert (pid2 < (s.R + 1) * lanes).all()
+        # flush row: all flags set, identity position
+        assert (np.asarray(s2.pos2[s2.R2]) == -(1 << 31)).all()

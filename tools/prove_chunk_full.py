@@ -49,12 +49,14 @@ def main():
           f"{cs.num_instance + cs.num_witness} vars", file=sys.stderr)
 
     os.makedirs(args.keydir, exist_ok=True)
+    # npz = raw-coordinate cache (seconds to load); the compressed arkworks
+    # format needs one modular sqrt per point (~90 min at this key's 5.7M
+    # points) and is kept only as the wire format
     key_path = os.path.join(
-        args.keydir, f"chunk_{cap[0]}_{cap[1]}_{cap[2]}_d{args.depth}.pk")
+        args.keydir, f"chunk_{cap[0]}_{cap[1]}_{cap[2]}_d{args.depth}.npz")
     if os.path.exists(key_path):
         t0 = time.time()
-        with open(key_path, "rb") as f:
-            pk = ProvingKey.deserialize_compressed(f.read())
+        pk = ProvingKey.load_npz(key_path)
         prover = Groth16ChunkProver(pk, cap, args.depth)
         print(f"key loaded: {time.time()-t0:.1f}s", file=sys.stderr)
     else:
@@ -62,8 +64,7 @@ def main():
         prover = Groth16ChunkProver.setup(cap, args.depth)
         dt = time.time() - t0
         print(f"keygen: {dt:.1f}s", file=sys.stderr)
-        with open(key_path, "wb") as f:
-            f.write(prover.pk.serialize_compressed())
+        prover.pk.save_npz(key_path)
 
     # a maximally-occupied chunk with real intermediate Merkle paths
     builder = ChunkWitnessBuilder(args.depth)

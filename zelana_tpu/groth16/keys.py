@@ -138,3 +138,90 @@ class ProvingKey:
         l_query, off = read_vec(off, 32, g1.deserialize_compressed)
         assert off == len(data)
         return cls(vk, beta_g1, delta_g1, a_query, b_g1_query, b_g2_query, h_query, l_query)
+
+    # -- raw (uncompressed) numpy cache -------------------------------------
+    #
+    # Compressed arkworks deserialization recovers y with one modular sqrt
+    # PER POINT -- fine for wire-format fidelity, ruinous for loading a
+    # production proving key (the 8/4/4 chunk key holds ~5.7M points; ~90
+    # minutes of host sqrt). The npz cache stores full (x, y) coordinates
+    # as u64 limb arrays: save/load in tens of seconds. Local artifact
+    # cache only; the wire format stays arkworks-compressed.
+
+    def save_npz(self, path: str):
+        import numpy as np
+
+        arrs = {}
+        for name, vec, comps in (
+            ("a", self.a_query, 2), ("b1", self.b_g1_query, 2),
+            ("b2", self.b_g2_query, 4), ("h", self.h_query, 2),
+            ("l", self.l_query, 2), ("ic", self.vk.gamma_abc_g1, 2),
+        ):
+            arr, inf = _pts_to_u64(vec, comps)
+            arrs[name] = arr
+            arrs[name + "_inf"] = inf
+        fixed, _ = _pts_to_u64(
+            [self.vk.alpha_g1, self.beta_g1, self.delta_g1], 2)
+        fixed2, _ = _pts_to_u64(
+            [self.vk.beta_g2, self.vk.gamma_g2, self.vk.delta_g2], 4)
+        arrs["fixed_g1"] = fixed
+        arrs["fixed_g2"] = fixed2
+        with open(path, "wb") as f:
+            np.savez(f, **arrs)
+
+    @classmethod
+    def load_npz(cls, path: str) -> "ProvingKey":
+        import numpy as np
+
+        with np.load(path) as z:
+            vecs = {
+                name: _pts_from_u64(z[name], z[name + "_inf"], comps)
+                for name, comps in (("a", 2), ("b1", 2), ("b2", 4),
+                                    ("h", 2), ("l", 2), ("ic", 2))
+            }
+            fixed = _pts_from_u64(z["fixed_g1"], np.zeros(3, bool), 2)
+            fixed2 = _pts_from_u64(z["fixed_g2"], np.zeros(3, bool), 4)
+        vk = VerifyingKey(
+            alpha_g1=fixed[0], beta_g2=fixed2[0], gamma_g2=fixed2[1],
+            delta_g2=fixed2[2], gamma_abc_g1=vecs["ic"])
+        return cls(vk=vk, beta_g1=fixed[1], delta_g1=fixed[2],
+                   a_query=vecs["a"], b_g1_query=vecs["b1"],
+                   b_g2_query=vecs["b2"], h_query=vecs["h"],
+                   l_query=vecs["l"])
+
+
+def _pts_to_u64(points, comps: int):
+    """Affine points -> ((n, comps*4) u64 LE limbs, (n,) infinity mask).
+    comps = 2 for G1 (x, y), 4 for G2 ((x0, x1), (y0, y1))."""
+    import numpy as np
+
+    n = len(points)
+    inf = np.zeros(n, bool)
+    vals = []
+    for i, p in enumerate(points):
+        if p is None:
+            inf[i] = True
+            vals.extend([0] * comps)
+        elif comps == 2:
+            vals.extend([p[0], p[1]])
+        else:
+            vals.extend([p[0][0], p[0][1], p[1][0], p[1][1]])
+    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
+    return np.frombuffer(buf, "<u8").reshape(n, comps * 4).copy(), inf
+
+
+def _pts_from_u64(arr, inf, comps: int):
+    import numpy as np
+
+    rows = np.asarray(arr, dtype=np.uint64).reshape(len(arr), comps,
+                                                    4).tolist()
+    out = []
+    for i, row in enumerate(rows):
+        if inf[i]:
+            out.append(None)
+            continue
+        vs = [v0 | v1 << 64 | v2 << 128 | v3 << 192
+              for v0, v1, v2, v3 in row]
+        out.append(tuple(vs) if comps == 2
+                   else ((vs[0], vs[1]), (vs[2], vs[3])))
+    return out

@@ -110,13 +110,29 @@ def _round_pow2(x: int, lo: int = 1) -> int:
 class Schedule:
     perm: np.ndarray  # (R+1, L) uint16 point ids (flag in bit 15 if n<=2^15)
     flag_bits: np.ndarray | None  # (R+1, L/32) uint32 bitmap for n > 2^15
-    dense_idx: np.ndarray  # (K, W * 256) int32 emit-buffer positions
+    dense_idx: np.ndarray  # (K, W * 2^c) int32 emit-buffer positions
     R: int
     K: int
     n_points: int
+    # two-level variant (level-2 run-scan partial merge): when pos2 is
+    # set, dense_idx indexes the LEVEL-2 emit buffer and K counts its
+    # (small) layers; pos2 carries the level-2 stream (positions into the
+    # level-1 emit buffer, run flag in bit 31)
+    pos2: np.ndarray | None = None  # (R2+1, lanes2) int32
+    R2: int = 0
+    lanes2: int = 0
 
 
-def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
+# The level-2 run-scan replaces the K-layer dense merge of per-lane
+# partials: the partials become a second key-sorted (projective) stream
+# through the same scan kernel, so a degenerate bucket with hundreds of
+# partials (the wide-window trap, docs/DEVNOTES.md) costs rows instead of
+# dense layers. Opt out with ZELANA_SCAN_L2=0.
+SCAN_L2 = __import__("os").environ.get("ZELANA_SCAN_L2", "1") == "1"
+
+
+def build_schedule(digits: np.ndarray, lanes: int = LANES,
+                   level2: bool | None = None) -> Schedule:
     """digits: (W, N) int32 window digits (zeros included).
 
     Upload budget is the design constraint (docs/DEVNOTES.md link numbers):
@@ -133,6 +149,21 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES) -> Schedule:
     R0 = -(-nw // lanes0)
     fold = n <= (1 << 15)
     from . import sched_native
+
+    if level2 is None:
+        level2 = SCAN_L2
+    if level2:
+        bound = w * SCAN_BUCKETS + lanes0
+        lanes2 = min(1024, _round_pow2(max(bound // 8, 128), 128))
+        native2 = sched_native.build_schedule_arrays2(
+            digits, SCAN_BUCKETS, lanes0, R0, fold, lanes2)
+        if native2 is not None:
+            perm, flag_bits, pos2, dense2, K2, R2 = native2
+            Kp = _round_pow2(K2)
+            return Schedule(
+                perm=perm, flag_bits=None if fold else flag_bits,
+                dense_idx=np.ascontiguousarray(dense2[:Kp]), R=R0, K=Kp,
+                n_points=n, pos2=pos2, R2=R2, lanes2=lanes2)
 
     native = sched_native.build_schedule_arrays(digits, SCAN_BUCKETS,
                                                 lanes0, R0, fold)
@@ -261,7 +292,7 @@ def _ident_packed(C: int, shape) -> jnp.ndarray:
     )
 
 
-def _runscan_xla(vals2, flags2, curve: str):
+def _runscan_xla(vals2, flags2, curve: str, proj_in: bool = False):
     """CPU/test fallback: the run-scan as one lax.scan over stream rows
     (same math as pallas_curve.runscan_call, XLA field ops)."""
     from .pallas_curve import (
@@ -269,6 +300,7 @@ def _runscan_xla(vals2, flags2, curve: str):
         XlaFq2,
         _coords,
         _flat,
+        complete_add,
         complete_add_z1,
         kernel_pack,
         kernel_unpack,
@@ -287,15 +319,22 @@ def _runscan_xla(vals2, flags2, curve: str):
         cu = kernel_unpack(carry)
         vu = kernel_unpack(v)
         P = _coords(cu, curve, 3 if curve == "g1" else 6)
-        Q = _coords(vu, curve, 2 if curve == "g1" else 4)
-        S3 = complete_add_z1(F, P, Q)
+        if proj_in:
+            Q = _coords(vu, curve, 3 if curve == "g1" else 6)
+            S3 = complete_add(F, P, Q)
+            prom = Q
+        else:
+            Q = _coords(vu, curve, 2 if curve == "g1" else 4)
+            S3 = complete_add_z1(F, P, Q)
+            if curve == "g1":
+                prom = (vu[0:16], vu[16:32], one_limbs)
+            else:
+                zero = jnp.zeros_like(one_limbs)
+                prom = ((vu[0:16], vu[16:32]), (vu[32:48], vu[48:64]),
+                        (one_limbs, zero))
         if curve == "g1":
-            prom = (vu[0:16], vu[16:32], one_limbs)
             newc = tuple(jnp.where(fb, prom[i], S3[i]) for i in range(3))
         else:
-            zero = jnp.zeros_like(one_limbs)
-            prom = ((vu[0:16], vu[16:32]), (vu[32:48], vu[48:64]),
-                    (one_limbs, zero))
             newc = tuple(
                 (jnp.where(fb, prom[i][0], S3[i][0]),
                  jnp.where(fb, prom[i][1], S3[i][1]))
@@ -308,10 +347,12 @@ def _runscan_xla(vals2, flags2, curve: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("curve", "R", "lanes", "K", "has_bits")
+    jax.jit,
+    static_argnames=("curve", "R", "lanes", "K", "has_bits", "R2", "lanes2",
+                     "has_l2"),
 )
-def _device_msm(pool, perm, flag_bits, dense_idx, subset_idx, curve, R,
-                lanes, K, has_bits):
+def _device_msm(pool, perm, flag_bits, dense_idx, subset_idx, pos2, curve, R,
+                lanes, K, has_bits, R2=0, lanes2=0, has_l2=False):
     from .pallas_curve import pairs_add_call, proj_add_xla, runscan_call
 
     fused = _use_fused()
@@ -342,6 +383,27 @@ def _device_msm(pool, perm, flag_bits, dense_idx, subset_idx, curve, R,
         vals2 = vals.transpose(1, 0, 2)  # (R+1, VC, lanes)
         emit = _runscan_xla(vals2, flag, curve)
         flat = emit.transpose(1, 0, 2).reshape(C, (R + 1) * lanes)
+
+    if has_l2:
+        # level-2 run-scan: gather the per-lane partials (projective) into
+        # key-sorted stream order and scan them; dense_idx then indexes
+        # the level-2 emit buffer with a small K
+        Ls2 = lanes2 // 128
+        flag2 = (pos2 < 0).astype(jnp.int32)  # run flag rides bit 31
+        pid2 = pos2 & 0x7FFFFFFF
+        flat3 = flat.reshape(C, (R + 1) * lanes // 128, 128)
+        vals_l2 = flat3[:, pid2 // 128, pid2 % 128]  # (C, R2+1, lanes2)
+        if fused:
+            v4 = vals_l2.transpose(1, 0, 2).reshape(R2 + 1, C, Ls2, 128)
+            f3 = flag2.reshape(R2 + 1, Ls2, 128)
+            emit2 = runscan_call(L.FQ.modulus, curve, Ls2, R2, interpret,
+                                 proj_in=True)(v4, f3)
+            flat = emit2.transpose(1, 0, 2, 3).reshape(
+                C, (R2 + 1) * lanes2)
+        else:
+            v2 = vals_l2.transpose(1, 0, 2)  # (R2+1, C, lanes2)
+            emit2 = _runscan_xla(v2, flag2, curve, proj_in=True)
+            flat = emit2.transpose(1, 0, 2).reshape(C, (R2 + 1) * lanes2)
 
     def _unpack2(p):
         from .pallas_curve import kernel_unpack
@@ -419,6 +481,7 @@ def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
         schedule = build_schedule(digits)
     s = schedule
     has_bits = s.flag_bits is not None
+    has_l2 = s.pos2 is not None
     g = _device_msm(
         pool,
         jnp.asarray(s.perm),
@@ -426,11 +489,15 @@ def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
         else jnp.zeros((1, 1), jnp.uint32),
         jnp.asarray(s.dense_idx),
         _subset_idx(),
+        jnp.asarray(s.pos2) if has_l2 else jnp.zeros((1, 1), jnp.int32),
         curve,
         s.R,
         s.perm.shape[1],
         s.K,
         has_bits,
+        R2=s.R2,
+        lanes2=s.lanes2,
+        has_l2=has_l2,
     )
     return (g, curve)
 

@@ -434,18 +434,22 @@ def _flat(coords, curve: str):
 
 
 @functools.lru_cache(maxsize=None)
-def runscan_call(modulus: int, curve: str, Ls: int, R: int, interpret: bool):
+def runscan_call(modulus: int, curve: str, Ls: int, R: int, interpret: bool,
+                 proj_in: bool = False):
     """Returns call(vals, flags) -> emit.
 
-    vals:  (R+1, VC, Ls, 128) packed u32 -- stream row r = one affine point
-           per lane (VC = 16 packed rows for G1 X|Y, 32 for G2).
+    vals:  (R+1, VC, Ls, 128) packed u32 -- stream row r = one point per
+           lane. Affine stream (default): VC = 16 packed rows for G1 X|Y,
+           32 for G2, and each add is the 11-mul Z2=1 complete add.
+           proj_in=True (the level-2 partial-merge stream): VC = C (full
+           projective operands), 12-mul complete add.
     flags: (R+1, Ls, 128) int32; 1 = this element begins a new run.
     emit:  (R+1, C, Ls, 128) packed u32 -- row r holds, per lane, the
            finished run total when flags[r] = 1 (else the identity).
            Row R is the flush row (host sets flags[R] = 1).
     """
     C = 24 if curve == "g1" else 48
-    VC = 16 if curve == "g1" else 32
+    VC = C if proj_in else (16 if curve == "g1" else 32)
     F = _KernelFq(modulus) if curve == "g1" else _KernelFq2(modulus)
     one16 = tuple(int(v) for v in L.encode_mont([1], L.FQ)[:, 0])
 
@@ -478,20 +482,27 @@ def runscan_call(modulus: int, curve: str, Ls: int, R: int, interpret: bool):
         c = kernel_unpack(cpacked)
         v = kernel_unpack(vals_ref[0])
         P3 = _coords(c, curve, 3 if curve == "g1" else 6)
-        Q2 = _coords(v, curve, 2 if curve == "g1" else 4)
-        S3 = complete_add_z1(F, P3, Q2)
+        if proj_in:
+            Q3 = _coords(v, curve, 3 if curve == "g1" else 6)
+            S3 = complete_add(F, P3, Q3)
+            prom3 = Q3
+        else:
+            Q2 = _coords(v, curve, 2 if curve == "g1" else 4)
+            S3 = complete_add_z1(F, P3, Q2)
+            if curve == "g1":
+                prom3 = (v[0:16], v[16:32], one_limbs)
+            else:
+                zero = jnp.zeros_like(one_limbs)
+                prom3 = ((v[0:16], v[16:32]), (v[32:48], v[48:64]),
+                         (one_limbs, zero))
 
         # new carry: flag ? promote(Q) : P + Q
         if curve == "g1":
-            prom = (v[0:16], v[16:32], one_limbs)
-            newc = tuple(jnp.where(f, prom[i], S3[i]) for i in range(3))
+            newc = tuple(jnp.where(f, prom3[i], S3[i]) for i in range(3))
         else:
-            zero = jnp.zeros_like(one_limbs)
-            prom = ((v[0:16], v[16:32]), (v[32:48], v[48:64]),
-                    (one_limbs, zero))
             newc = tuple(
-                (jnp.where(f, prom[i][0], S3[i][0]),
-                 jnp.where(f, prom[i][1], S3[i][1]))
+                (jnp.where(f, prom3[i][0], S3[i][0]),
+                 jnp.where(f, prom3[i][1], S3[i][1]))
                 for i in range(3)
             )
         carry_ref[...] = kernel_pack(_flat(newc, curve))

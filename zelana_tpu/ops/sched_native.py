@@ -41,6 +41,14 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
     ]
     lib.zelana_build_scan_schedule.restype = ctypes.c_int
+    if hasattr(lib, "zelana_build_scan_schedule2"):
+        lib.zelana_build_scan_schedule2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.zelana_build_scan_schedule2.restype = ctypes.c_int
     return lib
 
 
@@ -65,3 +73,35 @@ def build_schedule_arrays(digits: np.ndarray, nb: int, lanes: int, R: int,
     if rc != 0:
         return None
     return perm, flag_bits, dense, int(meta[0])
+
+
+def build_schedule_arrays2(digits: np.ndarray, nb: int, lanes: int, R: int,
+                           fold_bit15: bool, lanes2: int, kmax: int = 64):
+    """Two-level schedule (level-2 run-scan partial merge). Returns
+    (perm, flag_bits, pos2 (R2+1, lanes2) i32, dense_idx2 (K2, w*nb) i32,
+    K2, R2) or None (library missing / caps exceeded -> caller falls back
+    to the single-level schedule)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "zelana_build_scan_schedule2"):
+        return None
+    w, n = digits.shape
+    digits_c = np.ascontiguousarray(digits, dtype=np.int32)
+    perm = np.empty((R + 1, lanes), np.uint16)
+    flag_bits = np.zeros((R + 1, lanes // 32), np.uint32)
+    # upper bound on level-2 stream: one partial per bucket + one per
+    # level-1 lane-boundary crossing (<= lanes per bucket-straddling lane)
+    bound = w * nb + lanes + lanes2
+    r2cap = -(-bound // lanes2) + 1
+    pos2 = np.zeros((r2cap + 1, lanes2), np.int32)
+    dense2 = np.zeros((kmax, w * nb), np.int32)
+    meta = np.zeros(2, np.int64)
+    rc = lib.zelana_build_scan_schedule2(
+        digits_c.ctypes.data, w, n, nb, lanes, R, 1 if fold_bit15 else 0,
+        lanes2, r2cap, perm.ctypes.data, flag_bits.ctypes.data,
+        pos2.ctypes.data, dense2.ctypes.data, kmax, meta.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    K2, R2 = int(meta[0]), int(meta[1])
+    return (perm, flag_bits, np.ascontiguousarray(pos2[:R2 + 1]),
+            dense2, K2, R2)
