@@ -745,6 +745,56 @@ void zelana_from_mont_batch(const u64 *in, i64 n, u64 *out) {
   }
 }
 
+// Generic-modulus Montgomery encode: out[i] = in[i] * 2^256 mod m, for ANY
+// odd 256-bit modulus (the MSM point pools are over Fq, not Fr; Python's
+// per-element encode_mont is minutes at a production key's 5.7M points).
+// mod/r2: canonical limbs; inv = -mod^{-1} mod 2^64.
+void zelana_mont_encode_any(const u64 *in, i64 n, const u64 *mod,
+                            const u64 *r2, u64 inv, u64 *out) {
+  // local CIOS against the caller's modulus
+  auto mmul = [&](const u64 a[4], const u64 b[4], u64 res[4]) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+      u128 carry = 0;
+      for (int j = 0; j < 4; ++j) {
+        u128 cur = (u128)t[j] + (u128)a[i] * b[j] + carry;
+        t[j] = (u64)cur;
+        carry = cur >> 64;
+      }
+      u128 cur = (u128)t[4] + carry;
+      t[4] = (u64)cur;
+      t[5] = (u64)(cur >> 64);
+      u64 m = t[0] * inv;
+      carry = ((u128)t[0] + (u128)m * mod[0]) >> 64;
+      for (int j = 1; j < 4; ++j) {
+        u128 cur2 = (u128)t[j] + (u128)m * mod[j] + carry;
+        t[j - 1] = (u64)cur2;
+        carry = cur2 >> 64;
+      }
+      u128 cur3 = (u128)t[4] + carry;
+      t[3] = (u64)cur3;
+      t[4] = t[5] + (u64)(cur3 >> 64);
+    }
+    bool ge = t[4] != 0;
+    if (!ge) {
+      ge = true;
+      for (int i = 3; i >= 0; --i) {
+        if (t[i] != mod[i]) { ge = t[i] > mod[i]; break; }
+      }
+    }
+    if (ge) {
+      u128 borrow = 0;
+      for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)t[i] - mod[i] - borrow;
+        t[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+      }
+    }
+    std::memcpy(res, t, 32);
+  };
+  for (i64 i = 0; i < n; ++i) mmul(in + 4 * i, r2, out + 4 * i);
+}
+
 // out[j] = scale * t^j for j < m (keygen h_query scalars), canonical I/O.
 void zelana_powers_scaled(const u64 *t_in, const u64 *scale_in, i64 m,
                           u64 *out) {

@@ -180,6 +180,30 @@ def test_keygen_and_prove_native_match_python():
     assert g16_verify(pk_native.vk, proof_n, public_inputs_of(circuit))
 
 
+def test_native_encode_mont_matches_python():
+    """limbs.encode_mont's native batch path (generic-modulus Montgomery
+    encode) must agree with the pure-python encoding over both Fq and Fr,
+    including unreduced inputs."""
+    import random
+
+    import numpy as np
+
+    from zelana_tpu.ops import limbs as L
+
+    r = random.Random(99)
+    for spec in (L.FQ, L.FR):
+        vals = [r.randrange(1 << 254) for _ in range(1500)]
+        vals[0] = 0
+        vals[1] = spec.modulus - 1
+        vals[2] = spec.modulus  # unreduced
+        vals[3] = (1 << 256) - 1  # max unreduced
+        got = L._encode_mont_native(vals, spec)
+        assert got is not None
+        R_ = 1 << (L.LIMB_BITS * L.NLIMBS)
+        want = L.to_limbs([(v * R_) % spec.modulus for v in vals], spec)
+        assert (np.asarray(got) == np.asarray(want)).all()
+
+
 def test_proving_key_npz_roundtrip(tmp_path):
     """The raw-coordinate key cache must round-trip exactly (including
     points at infinity) -- it exists because compressed deserialization

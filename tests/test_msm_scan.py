@@ -57,6 +57,25 @@ def test_msm_scan_equal_scalars_level2():
     assert MS.msm_g1(pts, scalars) == G1.msm(pts, scalars)
 
 
+def test_msm_scan_segmented_matches_golden(monkeypatch):
+    """Point-segmented dispatch (MSMs beyond the uint16 id capacity split
+    into CHUNK_N segments folded host-side): shrink the segment size so a
+    small MSM crosses several segment boundaries, including a ragged tail
+    and an infinity point."""
+    r = random.Random(17)
+    n = 300  # -> segments 128 / 128 / 44 with CHUNK_N = 128
+    pts = _g1_points(n)
+    pts[10] = None
+    scalars = [r.randrange(FR) for _ in range(n)]
+    scalars[33] = 0
+    # CHUNK_N must stay 128-aligned (pool columns pack 128 points)
+    monkeypatch.setattr(MS, "CHUNK_N", 128)
+    monkeypatch.setattr(MS, "MAX_INFLIGHT", 2)
+    expect = G1.msm([p for p in pts if p is not None],
+                    [s for p, s in zip(pts, scalars) if p is not None])
+    assert MS.msm_g1(pts, scalars) == expect
+
+
 def test_msm_scan_g2_matches_golden():
     r = random.Random(13)
     n = 12

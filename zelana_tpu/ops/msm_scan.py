@@ -53,6 +53,12 @@ from .msm import g1_points_to_device, g2_points_to_device
 from .msm_fast import _finish_host
 
 LANES = 8192  # stream lanes; rows R = padded_stream / LANES
+# G2 lane cap: the scan kernel's VMEM footprint scales with C x lanes, and
+# Fq2 state is 3x G1's -- at 8192 lanes the Mosaic scoped-VMEM stack
+# overflows (26.3M vs the 16M limit, first hit by the b2 query MSM of the
+# production chunk key). Narrower tiles trade rows for fitting; total
+# adds are unchanged.
+LANES_G2 = 2048
 
 # Window size. 11-bit windows cut the digit stream (and with it both the
 # per-MSM upload and the scan's add count) 25% on paper, but MEASURED
@@ -144,6 +150,9 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES,
     same-bucket partials may differ between the two -- algebraically
     irrelevant (bucket sums commute)."""
     w, n = digits.shape
+    assert n <= CHUNK_N, (
+        f"schedule point ids are uint16: {n} > {CHUNK_N} points must be "
+        "segmented (msm_begin does this automatically)")
     nw = w * n
     lanes0 = min(lanes, _round_pow2(max(nw // 8, 128), 128))
     R0 = -(-nw // lanes0)
@@ -464,22 +473,59 @@ def prepare_g2(points):
     return (_pack_pool(coords, "g2"), inf, "g2")
 
 
+# Max points per device dispatch. Two hard reasons: (1) the schedule's
+# point ids are uint16, so a single scan covers at most 2^16 points;
+# (2) the scan's emit buffer is C x W x n x 4 bytes of HBM (3.5 GB for a
+# G1 MSM at the production chunk's 1.13M points) -- segmenting bounds it
+# at ~200 MB per in-flight segment. Segments share one compiled kernel
+# shape; partial results fold host-side (one point add per segment).
+CHUNK_N = 1 << 16  # must stay 128-aligned: pool columns pack 128 points
+MAX_INFLIGHT = 4  # segments allowed in the device queue at once
+
+
+class _MultiMsm:
+    """Handle for a segmented MSM: finals fold at msm_end."""
+
+    def __init__(self):
+        self.pending = []  # device handles, dispatch order
+        self.done = []  # np finals
+
+
 def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
               schedule: Schedule = None):
     """Dispatch the device program (async). Returns a handle for msm_end.
 
     `schedule` lets callers reuse one host schedule across MSMs that share
-    a scalar vector (the Groth16 a/b1/b2 queries)."""
+    a scalar vector (the Groth16 a/b1/b2 queries). MSMs beyond CHUNK_N
+    points dispatch as point segments with a bounded device queue."""
     pool, inf, pcurve = prepared
     assert pcurve == curve
+    lanes = LANES if curve == "g1" else LANES_G2
     if schedule is None:
         if digits is None:
             digits = scalar_digits(scalars, inf)
         elif inf is not None and inf.any():
             digits = digits.copy()
             digits[:, inf] = 0
-        schedule = build_schedule(digits)
+        n = digits.shape[1]
+        if n > CHUNK_N:
+            multi = _MultiMsm()
+            for lo in range(0, n, CHUNK_N):
+                hi = min(lo + CHUNK_N, n)
+                seg_sched = build_schedule(digits[:, lo:hi], lanes=lanes)
+                c0 = lo // 128
+                c1 = c0 + (-(-(hi - lo) // 128))
+                g = _dispatch_schedule(pool[:, c0:c1], seg_sched, curve)
+                multi.pending.append(g)
+                if len(multi.pending) >= MAX_INFLIGHT:
+                    multi.done.append(np.asarray(multi.pending.pop(0)))
+            return (multi, curve)
+        schedule = build_schedule(digits, lanes=lanes)
     s = schedule
+    return (_dispatch_schedule(pool, s, curve), curve)
+
+
+def _dispatch_schedule(pool, s: Schedule, curve: str):
     has_bits = s.flag_bits is not None
     has_l2 = s.pos2 is not None
     g = _device_msm(
@@ -499,11 +545,23 @@ def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
         lanes2=s.lanes2,
         has_l2=has_l2,
     )
-    return (g, curve)
+    return g
 
 
 def msm_end(handle):
     g, curve = handle
+    if isinstance(g, _MultiMsm):
+        from ..curves import g1 as G1, g2 as G2
+
+        add = G1.add if curve == "g1" else G2.add
+        finals = g.done + [np.asarray(p) for p in g.pending]
+        acc = None
+        for f in finals:
+            pt = _finish_host(f, curve, window_bits=SCAN_BITS,
+                              n_windows=SCAN_WINDOWS)
+            if pt is not None:
+                acc = add(acc, pt)
+        return acc
     return _finish_host(g, curve, window_bits=SCAN_BITS,
                         n_windows=SCAN_WINDOWS)
 

@@ -21,12 +21,18 @@ _LIB = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
 def load():
     src = os.path.abspath(_SRC)
     lib_path = os.path.abspath(_LIB)
-    if not os.path.exists(lib_path) and os.path.exists(src):
+    if os.path.exists(src) and (
+        not os.path.exists(lib_path)
+        or os.path.getmtime(lib_path) < os.path.getmtime(src)
+    ):
         try:
+            # temp + atomic rename: never truncate a .so a live process maps
+            tmp = lib_path + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, lib_path)
         except Exception:
             return None
     if not os.path.exists(lib_path):

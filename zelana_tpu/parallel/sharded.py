@@ -401,7 +401,9 @@ def sharded_msm_scan(points, scalars, mesh: Mesh, curve: str = "g1",
         pool, inf, _ = prep(points[d * shard:(d + 1) * shard])
         digits = scalar_digits(scalars[d * shard:(d + 1) * shard], inf)
         pools.append(pool)
-        schedules.append(MS.build_schedule(digits, level2=False))
+        schedules.append(MS.build_schedule(
+            digits, lanes=MS.LANES if curve == "g1" else MS.LANES_G2,
+            level2=False))
     pool_shards = jnp.stack(pools)
     handle = sharded_msm_scan_begin(pool_shards, schedules, mesh, curve,
                                     axis)
@@ -463,5 +465,7 @@ def msm_begin_sharded(prepared, scalars, mesh: Mesh, digits=None,
             dd = scalar_digits(scalars[d * shard:(d + 1) * shard], infs[d])
         # level2=False: the shard program consumes level-1 dense indexing
         # and needs uniform (R, K) across shards
-        schedules.append(MS.build_schedule(dd, level2=False))
+        schedules.append(MS.build_schedule(
+            dd, lanes=MS.LANES if curve == "g1" else MS.LANES_G2,
+            level2=False))
     return sharded_msm_scan_begin(pool_shards, schedules, mesh, curve, axis)

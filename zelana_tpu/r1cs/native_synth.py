@@ -43,10 +43,15 @@ def load():
         or os.path.getmtime(lib_path) < os.path.getmtime(src)
     ):
         try:
+            # build to a temp name + atomic rename: a direct -o truncates
+            # the existing .so in place, corrupting the mapping of any
+            # LIVE process that loaded it (long-running prover services)
+            tmp = lib_path + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, lib_path)
         except Exception:
             return None
     if not os.path.exists(lib_path):
@@ -66,6 +71,9 @@ def load():
     ]
     lib.zelana_powers_scaled.argtypes = [_p, _p, ctypes.c_int64, _p]
     lib.zelana_from_mont_batch.argtypes = [_p, ctypes.c_int64, _p]
+    lib.zelana_mont_encode_any.argtypes = [
+        _p, ctypes.c_int64, _p, _p, ctypes.c_uint64, _p,
+    ]
     lib.zelana_abc_combine.argtypes = [_p] * 6 + [ctypes.c_int64, _p]
     lib.zelana_csr_check.argtypes = [_p] * 10 + [
         ctypes.c_int64, _p, ctypes.c_int64, ctypes.c_int64,

@@ -24,11 +24,14 @@ def load():
     lib_path = os.path.abspath(_LIB)
     if not os.path.exists(lib_path) and os.path.exists(src):
         try:
+            # temp + atomic rename: never truncate a .so a live process maps
+            tmp = lib_path + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, lib_path)
         except Exception:
             return None
     if not os.path.exists(lib_path):
