@@ -97,6 +97,97 @@ def test_chunks_chain_roots_and_satisfy_circuit():
     assert cs.is_satisfied() is not None
 
 
+def test_full_verification_shielded_slot_satisfies_circuit():
+    """Full-mode shielded spend (main.nr:283-321): input-commitment
+    inclusion in the shielded SMT, nullifier binding, value conservation --
+    witnessed by ChunkWitnessBuilder.shielded_slot_full and satisfiable;
+    tampering with the nullifier or conservation breaks it."""
+    from zelana_tpu.hashes import mimc
+
+    builder = ChunkWitnessBuilder(DEPTH)
+    builder.fund(1, 100)
+    builder.fund(2, 0)
+    sk, value, blinding = 4242, 77, 999
+    pos = builder.add_note(sk, value, blinding)
+    pre_shielded = builder.shielded_root()
+    chunks = Dispatcher.build_chunks_with_witness(
+        builder,
+        [(1, 2, 10)],
+        [],
+        [("full", pos, sk, 0xBEEF, value, 1234)],
+        capacity=CAP,
+        pre_shielded_root=pre_shielded,
+    )
+    assert len(chunks) == 1
+    slot = chunks[0].shielded[0]
+    assert not slot.skip_verification
+    owner = int(mimc.derive_public_key(sk))
+    cm = int(mimc.compute_commitment(owner, value, blinding))
+    assert slot.nullifier == int(mimc.compute_nullifier(sk, cm, pos))
+    # post root = hash_2(pre, out_cm) fold
+    assert chunks[0].post_shielded_root == int(
+        mimc.hash_2(pre_shielded, slot.output_commitment))
+
+    prover = Groth16ChunkProver(pk=None, capacity=CAP, tree_depth=DEPTH)
+    circuit = prover.build_circuit(chunks[0], batch_id=3)
+    cs = ConstraintSystem()
+    circuit.generate_constraints(cs)
+    assert cs.is_satisfied() is None
+
+    # wrong nullifier -> unsatisfiable
+    import copy
+
+    bad = copy.deepcopy(chunks[0])
+    bad.shielded[0].nullifier ^= 1
+    cs = ConstraintSystem()
+    prover.build_circuit(bad, batch_id=3).generate_constraints(cs)
+    assert cs.is_satisfied() is not None
+
+    # value conservation violated -> unsatisfiable
+    bad = copy.deepcopy(chunks[0])
+    bad.shielded[0].output_value += 1
+    cs = ConstraintSystem()
+    prover.build_circuit(bad, batch_id=3).generate_constraints(cs)
+    assert cs.is_satisfied() is not None
+
+    # spend of a note NOT in the tree (wrong pre root) -> unsatisfiable
+    bad = copy.deepcopy(chunks[0])
+    bad.pre_shielded_root = 12345
+    cs = ConstraintSystem()
+    prover.build_circuit(bad, batch_id=3).generate_constraints(cs)
+    assert cs.is_satisfied() is not None
+
+
+def test_full_shielded_native_synthesis_matches_python():
+    """The native C++ synthesizer covers the full-verification shielded
+    leg too: element-for-element system equality on a full-mode chunk."""
+    from zelana_tpu.r1cs.native_synth import synthesize_chunk
+
+    builder = ChunkWitnessBuilder(DEPTH)
+    builder.fund(1, 100)
+    sk, value, blinding = 555, 12, 88
+    pos = builder.add_note(sk, value, blinding)
+    chunks = Dispatcher.build_chunks_with_witness(
+        builder, [], [], [("full", pos, sk, 0xAB, value, 7)],
+        capacity=CAP, pre_shielded_root=builder.shielded_root(),
+    )
+    prover = Groth16ChunkProver(pk=None, capacity=CAP, tree_depth=DEPTH)
+    circuit = prover.build_circuit(chunks[0], batch_id=5)
+    system = synthesize_chunk(circuit)
+    if system is None:
+        import pytest as _pytest
+
+        _pytest.skip("native chunk synthesizer unavailable")
+    assert system.check() == -1
+    cs = ConstraintSystem()
+    circuit.generate_constraints(cs)
+    assert cs.is_satisfied() is None
+    na, nb, nc, nz = system.to_python()
+    A, B, C = cs.matrices()
+    assert nz == cs.full_assignment()
+    assert (na, nb, nc) == (A, B, C)
+
+
 def test_sunspot_wire_formats():
     values = [1, 2, 3, 4, 5, 6, 7]
     pw = sunspot_public_witness(values)
@@ -200,14 +291,19 @@ def test_real_chunk_proofs_end_to_end():
     builder = ChunkWitnessBuilder(depth)
     builder.fund(1, 100)
     builder.fund(2, 50)
+    # one FULL-verification shielded spend (real input note + nullifier,
+    # main.nr:283-321) leads the batch; the later slots are skip-mode
+    note_pos = builder.add_note(spending_key=4242, value=9, blinding=31337)
     chunks = Dispatcher.build_chunks_with_witness(
         builder,
         [(1, 2, 10), (2, 1, 5), (1, 2, 3)],
         [(1, 0xAA, 4)],
-        [777],
+        [("full", note_pos, 4242, 0xFACE, 9, 77), 777, 778],
         capacity=cap,
+        pre_shielded_root=builder.shielded_root(),
     )
     assert len(chunks) == 3
+    assert not chunks[0].shielded[0].skip_verification
     dispatcher = Dispatcher(chunk_prover=prover.as_chunk_prover(),
                             max_workers=1)
     job = dispatcher.submit_job(chunks, batch_id=1)

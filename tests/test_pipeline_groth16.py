@@ -97,6 +97,10 @@ def test_pipeline_with_real_groth16_prover():
     # the proven shielded root CHANGED (commitment folded on-proof)
     pi = batch.proof.public_inputs
     assert pi.post_shielded_root != pi.pre_shielded_root
-    orch.tick()  # settle through the on-chain verifier gate
+    # settle through the on-chain verifier gate (async settle worker)
+    deadline = _time.time() + 10
+    while _time.time() < deadline and batch.settlement_sig is None:
+        orch.tick()
+        _time.sleep(0.02)
     assert batch.settlement_sig is not None
     assert orch.get_account(bob).balance == 250

@@ -36,12 +36,12 @@ def make_orchestrator(**kw):
 
 
 def drain(orch, timeout=5.0):
-    """Tick until the async prove worker and settlement are both done."""
+    """Tick until the async prove and settle workers are both done."""
     deadline = time.time() + timeout
     while time.time() < deadline:
         orch.tick()
         if not (orch.proving_in_flight or orch.batches.next_for_proving()
-                or orch.batches.next_for_settlement()):
+                or orch.settlement_pending):
             return
         time.sleep(0.01)
     raise AssertionError("pipeline did not drain in time")
@@ -496,6 +496,49 @@ def test_prove_runs_off_tick_thread_accumulation_overlaps():
     assert orch.stats.batches_proved == 1
     assert orch.stats.batches_settled == 1
     assert first.state.value == "finalized"
+
+
+def test_settle_runs_off_tick_thread_and_backoff_not_under_lock():
+    """Stage-3 concurrency (pipeline.rs:430-701): a slow, failing settler
+    must not block the tick or submissions -- backoff is a deadline, not a
+    sleep under the pipeline lock."""
+
+    class SlowFailingSettler:
+        def __init__(self):
+            self.calls = 0
+
+        def submit(self, proof):
+            self.calls += 1
+            time.sleep(0.3)
+            raise RuntimeError("L1 down")
+
+    settler = SlowFailingSettler()
+    orch = make_orchestrator(settler=settler)
+    orch.submit(Deposit(to=ALICE, amount=1_000, l1_seq=1))
+    first = orch.seal()
+    drain_deadline = time.time() + 5
+    while time.time() < drain_deadline and not orch.settling_in_flight:
+        orch.tick()  # prove completes, settle dispatches to its worker
+        time.sleep(0.01)
+    assert orch.settling_in_flight
+
+    # while the settler blocks + fails on ITS thread, ticks and submissions
+    # proceed immediately
+    t0 = time.time()
+    orch.tick()
+    assert orch.submit(Deposit(to=BOB, amount=5, l1_seq=2)).accepted
+    assert time.time() - t0 < 0.2
+
+    # retries keep coming (deadline-based backoff) until the cap pauses the
+    # pipeline and fails the batch
+    deadline = time.time() + 30
+    while time.time() < deadline and not orch.stats.paused:
+        orch.tick()
+        time.sleep(0.02)
+    assert orch.stats.paused
+    assert settler.calls == orch.config.max_settlement_retries
+    assert first.state.value == "failed"
+    assert "settlement failed" in first.error
 
 
 def test_web_explorer_snapshot_and_http():

@@ -166,8 +166,19 @@ class ProvingKey:
             [self.vk.beta_g2, self.vk.gamma_g2, self.vk.delta_g2], 4)
         arrs["fixed_g1"] = fixed
         arrs["fixed_g2"] = fixed2
-        with open(path, "wb") as f:
-            np.savez(f, **arrs)
+        # temp + atomic rename: an interrupted keygen must not leave a
+        # truncated cache that the next run trusts (matches the .so build
+        # pattern in r1cs/native_synth.py)
+        import os
+
+        tmp = path + f".tmp{os.getpid()}"
+        try:
+            with open(tmp, "wb") as f:
+                np.savez(f, **arrs)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     @classmethod
     def load_npz(cls, path: str) -> "ProvingKey":

@@ -137,6 +137,55 @@ class Schedule:
 SCAN_L2 = __import__("os").environ.get("ZELANA_SCAN_L2", "1") == "1"
 
 
+def _quantize_schedule(s: Schedule, fold: bool) -> Schedule:
+    """Pad the data-dependent schedule dims (R, K, R2) to stable buckets.
+
+    Every distinct (R, K, R2, lanes2) tuple is a distinct _device_msm
+    XLA program, and on the axon relay a NEW program costs minutes of
+    remote compile at first execution EVEN when jax's persistent cache
+    hits (the relay recompiles server-side). R and R2 are data-dependent
+    (R via n, R2 via the run/lane-crossing count), so without quantization
+    the five MSMs of one Groth16 prove compile five programs and repeat
+    proves with different witnesses can recompile mid-flight. Padding:
+
+    - R -> next pow2: extra stream rows AFTER the flush row with flag=1
+      and point id 0; their emits land beyond every dense_idx reference.
+    - K -> pow2 floor 4: all-zero dense layers gather emit position 0
+      (always the identity) and fold as no-op complete adds.
+    - R2 -> next pow2: extra level-2 rows with the run flag set and
+      position 0 (the identity emit).
+
+    Upload cost of the padding is bytes-to-tens-of-KB; the win is one
+    compiled program per (lanes, curve) bucket."""
+    Rp = _round_pow2(s.R)
+    perm, fbits = s.perm, s.flag_bits
+    if Rp != s.R:
+        pad = Rp - s.R
+        fill = np.uint16(0x8000) if fold else np.uint16(0)
+        perm = np.concatenate(
+            [perm, np.full((pad, perm.shape[1]), fill, np.uint16)])
+        if fbits is not None:
+            fbits = np.concatenate(
+                [fbits,
+                 np.full((pad, fbits.shape[1]), 0xFFFFFFFF, np.uint32)])
+    Kp = max(s.K, 4)
+    dense = s.dense_idx
+    if Kp != s.K:
+        dense = np.concatenate(
+            [dense, np.zeros((Kp - s.K, dense.shape[1]), dense.dtype)])
+    pos2, R2 = s.pos2, s.R2
+    if pos2 is not None:
+        R2p = _round_pow2(R2)
+        if R2p != R2:
+            pos2 = np.concatenate(
+                [pos2, np.full((R2p - R2, pos2.shape[1]),
+                               np.int32(-0x80000000), np.int32)])
+            R2 = R2p
+    return Schedule(perm=perm, flag_bits=fbits, dense_idx=dense, R=Rp,
+                    K=Kp, n_points=s.n_points, pos2=pos2, R2=R2,
+                    lanes2=s.lanes2)
+
+
 def build_schedule(digits: np.ndarray, lanes: int = LANES,
                    level2: bool | None = None) -> Schedule:
     """digits: (W, N) int32 window digits (zeros included).
@@ -169,19 +218,20 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES,
         if native2 is not None:
             perm, flag_bits, pos2, dense2, K2, R2 = native2
             Kp = _round_pow2(K2)
-            return Schedule(
+            return _quantize_schedule(Schedule(
                 perm=perm, flag_bits=None if fold else flag_bits,
                 dense_idx=np.ascontiguousarray(dense2[:Kp]), R=R0, K=Kp,
-                n_points=n, pos2=pos2, R2=R2, lanes2=lanes2)
+                n_points=n, pos2=pos2, R2=R2, lanes2=lanes2), fold)
 
     native = sched_native.build_schedule_arrays(digits, SCAN_BUCKETS,
                                                 lanes0, R0, fold)
     if native is not None:
         perm, flag_bits, dense, K = native
         Kp = _round_pow2(K)
-        return Schedule(perm=perm, flag_bits=None if fold else flag_bits,
-                        dense_idx=np.ascontiguousarray(dense[:Kp]), R=R0,
-                        K=Kp, n_points=n)
+        return _quantize_schedule(
+            Schedule(perm=perm, flag_bits=None if fold else flag_bits,
+                     dense_idx=np.ascontiguousarray(dense[:Kp]), R=R0,
+                     K=Kp, n_points=n), fold)
 
     keys = (
         np.arange(w, dtype=np.int32)[:, None] * SCAN_BUCKETS + digits
@@ -242,8 +292,9 @@ def build_schedule(digits: np.ndarray, lanes: int = LANES,
         flag_bits = (fb.astype(np.uint32)
                      << np.arange(32, dtype=np.uint32)).sum(
                          axis=2, dtype=np.uint32)
-    return Schedule(perm=perm, flag_bits=flag_bits, dense_idx=dense_idx,
-                    R=R, K=K, n_points=n)
+    return _quantize_schedule(
+        Schedule(perm=perm, flag_bits=flag_bits, dense_idx=dense_idx,
+                 R=R, K=K, n_points=n), fold)
 
 
 @functools.lru_cache(maxsize=1)
@@ -355,19 +406,78 @@ def _runscan_xla(vals2, flags2, curve: str, proj_in: bool = False):
     return emits  # (R+1, C, lanes)
 
 
+def _pack_sched(s: Schedule) -> np.ndarray:
+    """All schedule planes -> ONE contiguous uint32 buffer.
+
+    The relay link charges a large fixed cost PER TRANSFER (~tens of ms,
+    docs/DEVNOTES.md: 8 chunked uploads are 4-10x slower than one shot), so
+    the perm/flag/dense/pos2 arrays ship as a single upload and slice apart
+    on device with static offsets."""
+    parts = [np.ascontiguousarray(s.perm).reshape(-1).view(np.uint32)]
+    if s.flag_bits is not None:
+        parts.append(np.ascontiguousarray(s.flag_bits).reshape(-1))
+    if _dense16(s):
+        # level-2 emit positions fit uint16: ship the dense layer half-size
+        parts.append(np.ascontiguousarray(
+            s.dense_idx.astype(np.uint16)).reshape(-1).view(np.uint32))
+    else:
+        parts.append(
+            np.ascontiguousarray(s.dense_idx).reshape(-1).view(np.uint32))
+    if s.pos2 is not None:
+        parts.append(np.ascontiguousarray(s.pos2).reshape(-1).view(np.uint32))
+    return np.concatenate(parts)
+
+
+def _dense16(s: Schedule) -> bool:
+    """dense_idx indexes the level-2 emit buffer when pos2 is set; if that
+    buffer is small enough its positions pack as uint16 (halves the dense
+    component of the upload -- it is 6x larger at 11-bit windows)."""
+    return s.pos2 is not None and (s.R2 + 1) * s.lanes2 <= 0xFFFF
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("curve", "R", "lanes", "K", "has_bits", "R2", "lanes2",
-                     "has_l2"),
+                     "has_l2", "dense16"),
 )
-def _device_msm(pool, perm, flag_bits, dense_idx, subset_idx, pos2, curve, R,
-                lanes, K, has_bits, R2=0, lanes2=0, has_l2=False):
+def _device_msm(pool, sched, subset_idx, curve, R,
+                lanes, K, has_bits, R2=0, lanes2=0, has_l2=False,
+                dense16=False):
     from .pallas_curve import pairs_add_call, proj_add_xla, runscan_call
 
     fused = _use_fused()
     interpret = jax.default_backend() == "cpu"
     C = 24 if curve == "g1" else 48
     Ls = lanes // 128
+
+    # unpack the single schedule buffer (see _pack_sched); offsets are
+    # static functions of the shape args
+    off = 0
+    npw = (R + 1) * lanes // 2
+    pw = jax.lax.slice(sched, (off,), (off + npw,))
+    off += npw
+    perm = jnp.stack([pw & 0xFFFF, pw >> 16], axis=1).reshape(R + 1, lanes)
+    if has_bits:
+        nfb = (R + 1) * (lanes // 32)
+        flag_bits = jax.lax.slice(sched, (off,), (off + nfb,)).reshape(
+            R + 1, lanes // 32)
+        off += nfb
+    nd = K * SCAN_WINDOWS * SCAN_BUCKETS
+    if dense16:
+        dw = jax.lax.slice(sched, (off,), (off + nd // 2,))
+        dense_idx = jnp.stack([dw & 0xFFFF, dw >> 16], axis=1).astype(
+            jnp.int32).reshape(K, SCAN_WINDOWS * SCAN_BUCKETS)
+        off += nd // 2
+    else:
+        dense_idx = jax.lax.slice(sched, (off,), (off + nd,)).astype(
+            jnp.int32).reshape(K, SCAN_WINDOWS * SCAN_BUCKETS)
+        off += nd
+    if has_l2:
+        np2 = (R2 + 1) * lanes2
+        pos2 = jax.lax.slice(sched, (off,), (off + np2,)).reshape(
+            R2 + 1, lanes2)
+        off += np2
+
     if has_bits:
         pid = perm.astype(jnp.int32)
         bits = jnp.right_shift(
@@ -398,8 +508,8 @@ def _device_msm(pool, perm, flag_bits, dense_idx, subset_idx, pos2, curve, R,
         # key-sorted stream order and scan them; dense_idx then indexes
         # the level-2 emit buffer with a small K
         Ls2 = lanes2 // 128
-        flag2 = (pos2 < 0).astype(jnp.int32)  # run flag rides bit 31
-        pid2 = pos2 & 0x7FFFFFFF
+        flag2 = ((pos2 >> 31) & 1).astype(jnp.int32)  # run flag in bit 31
+        pid2 = (pos2 & 0x7FFFFFFF).astype(jnp.int32)
         flat3 = flat.reshape(C, (R + 1) * lanes // 128, 128)
         vals_l2 = flat3[:, pid2 // 128, pid2 % 128]  # (C, R2+1, lanes2)
         if fused:
@@ -526,9 +636,58 @@ def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
 
 
 def _dispatch_schedule(pool, s: Schedule, curve: str):
+    g = _device_msm(
+        pool,
+        jnp.asarray(_pack_sched(s)),
+        _subset_idx(),
+        curve,
+        s.R,
+        s.perm.shape[1],
+        s.K,
+        s.flag_bits is not None,
+        R2=s.R2,
+        lanes2=s.lanes2,
+        has_l2=s.pos2 is not None,
+        dense16=_dense16(s),
+    )
+    return g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("curve", "R", "lanes", "K", "has_bits", "R2", "lanes2",
+                     "has_l2"),
+)
+def _device_msm_unpacked(pool, perm, flag_bits, dense_idx, subset_idx, pos2,
+                         curve, R, lanes, K, has_bits, R2=0, lanes2=0,
+                         has_l2=False):
+    """A/B variant of _device_msm taking the schedule planes as separate
+    arrays (multiple uploads). Kept for profiling the relay's per-transfer
+    cost (tools/profile_sched_pack.py); _dispatch_schedule uses the packed
+    single-upload path."""
+    npw = (R + 1) * lanes // 2
+    nfb = (R + 1) * (lanes // 32) if has_bits else 0
+    nd = K * SCAN_WINDOWS * SCAN_BUCKETS
+    np2 = (R2 + 1) * lanes2 if has_l2 else 0
+    parts = [jax.lax.bitcast_convert_type(
+        perm.reshape(-1, 2), jnp.uint32).reshape(-1)]
+    if has_bits:
+        parts.append(flag_bits.reshape(-1))
+    parts.append(jax.lax.bitcast_convert_type(dense_idx, jnp.uint32)
+                 .reshape(-1))
+    if has_l2:
+        parts.append(jax.lax.bitcast_convert_type(pos2, jnp.uint32)
+                     .reshape(-1))
+    sched = jnp.concatenate(parts)
+    del npw, nfb, nd, np2
+    return _device_msm(pool, sched, subset_idx, curve, R, lanes, K,
+                       has_bits, R2=R2, lanes2=lanes2, has_l2=has_l2)
+
+
+def _dispatch_schedule_unpacked(pool, s: Schedule, curve: str):
     has_bits = s.flag_bits is not None
     has_l2 = s.pos2 is not None
-    g = _device_msm(
+    return _device_msm_unpacked(
         pool,
         jnp.asarray(s.perm),
         jnp.asarray(s.flag_bits) if has_bits
@@ -545,7 +704,6 @@ def _dispatch_schedule(pool, s: Schedule, curve: str):
         lanes2=s.lanes2,
         has_l2=has_l2,
     )
-    return g
 
 
 def msm_end(handle):

@@ -37,6 +37,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def _pcast_varying(a, axes):
+    """Promote a replicated value to 'varying' over `axes` inside shard_map.
+    jax.lax.pvary is deprecated in favor of pcast (JAX 0.9); support both."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(a, axes, to="varying")
+    return jax.lax.pvary(a, axes)
+
+
 def _ops(curve):
     return FqOps if curve == "g1" else Fq2Ops
 
@@ -51,13 +59,13 @@ def _local_msm(F, X, Y, digits, axes=None):
 
     Returns a single Jacobian point, leaves (16, 1). ``axes``: shard_map
     axis name(s) -- constants created inside the mapped function are
-    replicated ("unvarying") and must be pvary-promoted before mixing with
+    replicated ("unvarying") and must be promoted to 'varying' before mixing with
     device-varying data in loop carries.
     """
     def _pv(t):
         if axes is None:
             return t
-        return jax.tree_util.tree_map(lambda a: jax.lax.pvary(a, axes), t)
+        return jax.tree_util.tree_map(lambda a: _pcast_varying(a, axes), t)
 
     n = digits.shape[1]
     log_n = max(1, math.ceil(math.log2(n)))
@@ -244,7 +252,7 @@ def sharded_ntt(x, plan, mesh: Mesh, axis: str = "dp",
             # (dev & (2^k - 1)) * m + j
             lo_dev = dev & ((1 << k) - 1)
             tw = jax.lax.dynamic_slice_in_dim(
-                jax.lax.pvary(tables[s], (axis,)), 0, (1 << s), axis=1
+                _pcast_varying(tables[s], (axis,)), 0, (1 << s), axis=1
             )
             tw = jax.lax.dynamic_slice_in_dim(tw, lo_dev * m, m, axis=1)
             bt = L.mont_mul(b, tw, L.FR)
@@ -447,14 +455,22 @@ def msm_begin_sharded(prepared, scalars, mesh: Mesh, digits=None,
                       axis: str = "dp"):
     """Sharded twin of msm_scan.msm_begin: slice scalars per shard, build
     per-shard schedules (host, overlappable), dispatch the shard_map
-    program. Sync with ops.msm_fast._finish_host via msm_scan.msm_end."""
+    program. Sync with ops.msm_fast._finish_host via msm_scan.msm_end.
+
+    Shards beyond msm_scan.CHUNK_N points (the uint16 point-id limit --
+    reached by the h/l queries of the production 8/4/4 chunk key on small
+    meshes) dispatch as point SEGMENTS, exactly like the single-device
+    msm_begin: each segment is one shard_map program over the mesh, and the
+    per-segment partials fold host-side at msm_end (one point add each)."""
     from ..ops import msm_scan as MS
 
     scalar_digits = MS.scalar_digits
     pool_shards, infs, curve, n, shard = prepared
     D = pool_shards.shape[0]
-    scalars = list(scalars) + [0] * (D * shard - n)
-    schedules = []
+    scalars = list(scalars) + [0] * (D * shard - n) if scalars is not None \
+        else None
+    lanes = MS.LANES if curve == "g1" else MS.LANES_G2
+    per_shard = []
     for d in range(D):
         if digits is not None and d * shard + shard <= digits.shape[1]:
             dd = digits[:, d * shard:(d + 1) * shard]
@@ -463,9 +479,22 @@ def msm_begin_sharded(prepared, scalars, mesh: Mesh, digits=None,
                 dd[:, infs[d]] = 0
         else:
             dd = scalar_digits(scalars[d * shard:(d + 1) * shard], infs[d])
+        per_shard.append(dd)
+
+    def seg_handle(lo, hi):
         # level2=False: the shard program consumes level-1 dense indexing
         # and needs uniform (R, K) across shards
-        schedules.append(MS.build_schedule(
-            dd, lanes=MS.LANES if curve == "g1" else MS.LANES_G2,
-            level2=False))
-    return sharded_msm_scan_begin(pool_shards, schedules, mesh, curve, axis)
+        scheds = [MS.build_schedule(dd[:, lo:hi], lanes=lanes, level2=False)
+                  for dd in per_shard]
+        seg_pool = pool_shards[:, :, lo // 128:-(-hi // 128), :]
+        return sharded_msm_scan_begin(seg_pool, scheds, mesh, curve, axis)[0]
+
+    if shard <= MS.CHUNK_N:
+        return (seg_handle(0, shard), curve)
+    multi = MS._MultiMsm()
+    for lo in range(0, shard, MS.CHUNK_N):
+        hi = min(lo + MS.CHUNK_N, shard)
+        multi.pending.append(seg_handle(lo, hi))
+        if len(multi.pending) >= MS.MAX_INFLIGHT:
+            multi.done.append(np.asarray(multi.pending.pop(0)))
+    return (multi, curve)

@@ -88,6 +88,13 @@ class ChunkWitnessBuilder:
         self.depth = depth
         self.tree = CircuitSMT(depth)
         self.accounts: Dict[int, AccountInfo] = {}
+        # shielded note commitment SMT for FULL-verification spends
+        # (main.nr:283-321): the circuit proves input-commitment inclusion
+        # against the chunk's pre_shielded_root, so the builder owns the
+        # commitment tree and note store
+        self.shielded_tree = CircuitSMT(depth)
+        self.notes: Dict[int, Tuple[int, int, int]] = {}
+        self._next_note_pos = 0
 
     def pos(self, pk: int) -> int:
         return pk & ((1 << self.depth) - 1)
@@ -130,6 +137,14 @@ class ChunkWitnessBuilder:
             self.pos(sender_pk),
             account_leaf(sender_pk, sender.balance, sender.nonce),
         )
+        if receiver_pk not in self.accounts:
+            # an absent account's SMT slot holds the EMPTY leaf (0), not
+            # account_leaf(pk, 0, 0) -- the circuit's receiver-inclusion
+            # check (main.nr:196-203) can only pass for materialized
+            # accounts, so demand an explicit fund(pk, 0) (deposit/genesis)
+            raise ValueError(
+                f"receiver {receiver_pk:#x} has no tree leaf; "
+                "fund(pk, 0) it before building the chunk witness")
         receiver = self._touch(receiver_pk)
         rpath, rbits = self.tree.path(self.pos(receiver_pk))
         slot.receiver_pubkey = receiver_pk
@@ -179,6 +194,58 @@ class ChunkWitnessBuilder:
             skip_verification=True,
             input_path=[0] * self.depth,
             input_path_indices=[0] * self.depth,
+        )
+
+    # -- full-verification shielded (main.nr:283-321) ----------------------
+
+    def add_note(self, spending_key: int, value: int,
+                 blinding: int) -> int:
+        """Insert a note commitment into the shielded SMT pre-batch (the
+        analogue of a prior shield/deposit). Returns the note position.
+        owner = derive_public_key(spending_key) (ownership-prover
+        lib.rs:48-50)."""
+        owner = int(mimc.derive_public_key(spending_key))
+        cm = int(mimc.compute_commitment(owner, value, blinding))
+        pos = self._next_note_pos
+        self._next_note_pos += 1
+        self.shielded_tree.update(pos, cm)
+        self.notes[pos] = (owner, value, blinding)
+        return pos
+
+    def shielded_root(self) -> int:
+        return self.shielded_tree.root()
+
+    def shielded_slot_full(self, position: int, spending_key: int,
+                           output_owner: int, output_value: int,
+                           output_blinding: int) -> ShieldedSlot:
+        """Full-verification spend: input-commitment Merkle inclusion in
+        the shielded root, nullifier = hash_4(3, sk, cm, pos), value
+        conservation input == output (main.nr:283-321). The circuit folds
+        the shielded root by hash_2 after the FIRST spend, so a chunk's
+        full-mode slot must come before any other shielded slot (the
+        reference circuit shares this property)."""
+        owner, value, blinding = self.notes[position]
+        if output_value != value:
+            raise ValueError("value conservation: input != output")
+        cm = int(mimc.compute_commitment(owner, value, blinding))
+        path, bits = self.shielded_tree.path(position)
+        return ShieldedSlot(
+            input_owner=owner,
+            input_value=value,
+            input_blinding=blinding,
+            input_position=position,
+            input_path=path,
+            input_path_indices=bits,
+            spending_key=spending_key,
+            output_owner=output_owner,
+            output_value=output_value,
+            output_blinding=output_blinding,
+            output_commitment=int(mimc.compute_commitment(
+                output_owner, output_value, output_blinding)),
+            nullifier=int(mimc.compute_nullifier(spending_key, cm,
+                                                 position)),
+            is_valid=True,
+            skip_verification=False,
         )
 
 

@@ -136,7 +136,13 @@ class Dispatcher:
 
         transfers: [(sender_pk, receiver_pk, amount)],
         withdrawals: [(sender_pk, l1_recipient, amount)],
-        shielded: [output_commitment] (skip_verification mode).
+        shielded: [output_commitment] for skip_verification mode, or
+        ("full", position, spending_key, out_owner, out_value,
+        out_blinding) for a full-verification spend of a note previously
+        added with builder.add_note (full slots must lead their chunk and
+        the caller passes pre_shielded_root=builder.shielded_root(), since
+        the circuit proves inclusion against the chunk's pre root before
+        the hash_2 fold updates it -- main.nr:283-321).
         """
         mt, mw, ms = capacity
         chunks: List[Chunk] = []
@@ -145,6 +151,14 @@ class Dispatcher:
         shielded_root = pre_shielded_root
         from .chunk_witness import fold_shielded_root
 
+        def s_slot(spec):
+            if isinstance(spec, int):
+                return builder.shielded_slot_skip(spec)
+            kind, *args = spec
+            if kind == "full":
+                return builder.shielded_slot_full(*args)
+            raise ValueError(f"unknown shielded spec kind {kind!r}")
+
         while (ti < len(transfers) or wi < len(withdrawals)
                or si < len(shielded) or index == 0):
             pre_state = builder.root()
@@ -152,8 +166,7 @@ class Dispatcher:
                        for t in transfers[ti:ti + mt]]
             w_slots = [builder.withdrawal_slot(*w)
                        for w in withdrawals[wi:wi + mw]]
-            s_slots = [builder.shielded_slot_skip(cm)
-                       for cm in shielded[si:si + ms]]
+            s_slots = [s_slot(spec) for spec in shielded[si:si + ms]]
             post_shielded = fold_shielded_root(shielded_root, s_slots)
             chunks.append(Chunk(
                 index=index,
@@ -201,7 +214,13 @@ class Dispatcher:
             self.jobs[job_id] = job
 
         def run():
-            job.status = "running"
+            # all job-state writes under the dispatcher lock: expire() may
+            # delete the job concurrently, and readers (status/proofs) must
+            # never observe status == "done" before proofs is set
+            with self._lock:
+                if job.status == "cancelled":
+                    return
+                job.status = "running"
             try:
                 futures = [
                     self.pool.submit(self.chunk_prover, chunk, batch_id)
@@ -209,31 +228,38 @@ class Dispatcher:
                 ]
                 proofs = [f.result() for f in futures]
                 proofs.sort(key=lambda p: p.chunk_index)
-                job.proofs = proofs
-                job.status = "done"
+                with self._lock:
+                    if job.status != "cancelled":
+                        job.proofs = proofs
+                        job.status = "done"
             except Exception as exc:  # worker failure -> job failed
-                job.status = "failed"
-                job.error = str(exc)
+                with self._lock:
+                    if job.status != "cancelled":
+                        job.status = "failed"
+                        job.error = str(exc)
 
         threading.Thread(target=run, daemon=True).start()
         return job_id
 
     def status(self, job_id: str) -> Optional[str]:
-        job = self.jobs.get(job_id)
-        return job.status if job else None
+        with self._lock:
+            job = self.jobs.get(job_id)
+            return job.status if job else None
 
     def proofs(self, job_id: str) -> Optional[List[ChunkProof]]:
-        job = self.jobs.get(job_id)
-        if job is None or job.status != "done":
-            return None
-        return job.proofs
+        with self._lock:
+            job = self.jobs.get(job_id)
+            if job is None or job.status != "done":
+                return None
+            return job.proofs
 
     def cancel(self, job_id: str) -> bool:
-        job = self.jobs.get(job_id)
-        if job and job.status in ("queued", "running"):
-            job.status = "cancelled"
-            return True
-        return False
+        with self._lock:
+            job = self.jobs.get(job_id)
+            if job and job.status in ("queued", "running"):
+                job.status = "cancelled"
+                return True
+            return False
 
     def expire(self, max_age_secs: float = 3600.0):
         now = time.time()

@@ -100,6 +100,8 @@ class PipelineOrchestrator:
         self._settle_retries = 0
         self._lock = threading.RLock()
         self._prove_inflight: Optional[Batch] = None  # stage-2 slot
+        self._settle_inflight: Optional[Batch] = None  # stage-3 slot
+        self._settle_not_before = 0.0  # retry backoff deadline (monotonic)
         # bridge-side services (bridge/{withdrawals,fast_withdrawals}.rs)
         self.withdrawals = WithdrawalQueue(self.store)
         self.fast_withdrawals = FastWithdrawManager()
@@ -273,6 +275,19 @@ class PipelineOrchestrator:
         with self._lock:
             return self._prove_inflight is not None
 
+    @property
+    def settling_in_flight(self) -> bool:
+        with self._lock:
+            return self._settle_inflight is not None
+
+    @property
+    def settlement_pending(self) -> bool:
+        """True while a settlement is in flight OR queued (including a
+        failed attempt waiting out its retry backoff)."""
+        with self._lock:
+            return (self._settle_inflight is not None
+                    or self.batches.next_for_settlement() is not None)
+
     def _fold_public_inputs(self, batch: Batch,
                             witness: BatchWitness) -> BatchPublicInputs:
         """Circuit-native public inputs (Poseidon folds over balances)."""
@@ -368,28 +383,51 @@ class PipelineOrchestrator:
             self._prove_inflight = None
 
     def _try_settle(self):
+        """Stage 3 dispatch: hand the next proved batch to a settler WORKER
+        THREAD. The tick never blocks on L1 submission, and retry backoff is
+        a deadline check here -- NOT a sleep under the lock -- so
+        submissions proceed while a slow/failing settler retries (reference
+        settles in a spawned task off the command loop, pipeline.rs:430-701)."""
+        if self._settle_inflight is not None:
+            return
+        if time.monotonic() < self._settle_not_before:
+            return
         batch = self.batches.next_for_settlement()
         if batch is None:
             return
+        batch.state = BatchState.SETTLING
+        self._settle_inflight = batch
+        worker = threading.Thread(
+            target=self._settle_worker, args=(batch,), daemon=True,
+        )
+        worker.start()
+
+    def _settle_worker(self, batch: Batch):
+        """Runs OFF the tick thread; only result handling takes the lock."""
         try:
             result = self.settler.submit(batch.proof)
         except Exception as exc:
-            self._settle_retries += 1
-            if self._settle_retries >= self.config.max_settlement_retries:
-                self.stats.paused = True
-                batch.state = BatchState.FAILED
-                batch.error = f"settlement failed: {exc}"
-            else:
-                time.sleep(
-                    self.config.settlement_backoff_base * (2 ** self._settle_retries)
-                )
+            with self._lock:
+                self._settle_inflight = None
+                self._settle_retries += 1
+                if self._settle_retries >= self.config.max_settlement_retries:
+                    self.stats.paused = True
+                    batch.state = BatchState.FAILED
+                    batch.error = f"settlement failed: {exc}"
+                else:
+                    batch.state = BatchState.PROVED  # requeue after backoff
+                    self._settle_not_before = time.monotonic() + (
+                        self.config.settlement_backoff_base
+                        * (2 ** self._settle_retries)
+                    )
             return
-        self._settle_retries = 0
-        note_position = self.shielded.tree.next_index  # pre-commit position
-        self.batches.batch_settled(batch, result.signature)
+        with self._lock:
+            self._finalize_settlement(batch, result)
+            self._settle_inflight = None
         # batched L1 withdrawal execution (settler.rs:694-860): settlers
         # with an execute_withdrawals leg get one WithdrawAttested per
-        # finalized withdrawal, nullifier = the withdrawal tx hash
+        # finalized withdrawal, nullifier = the withdrawal tx hash.
+        # Off the lock: this is another L1 network call.
         if hasattr(self.settler, "execute_withdrawals"):
             l1_wds = []
             for tx in batch.transactions:
@@ -401,6 +439,11 @@ class PipelineOrchestrator:
                     self.settler.execute_withdrawals(l1_wds)
                 except Exception:
                     pass  # L1 withdrawal execution retries ride the queue
+
+    def _finalize_settlement(self, batch: Batch, result):
+        self._settle_retries = 0
+        note_position = self.shielded.tree.next_index  # pre-commit position
+        self.batches.batch_settled(batch, result.signature)
         for i, cm in enumerate(batch.diff.new_commitments):
             ciphertext = self._pending_notes.pop(cm, None)
             if ciphertext is not None:
@@ -483,7 +526,7 @@ class PipelineService:
             pending = (
                 self.orchestrator.proving_in_flight
                 or self.orchestrator.batches.next_for_proving()
-                or self.orchestrator.batches.next_for_settlement()
+                or self.orchestrator.settlement_pending
             )
             if not pending:
                 break
