@@ -745,54 +745,117 @@ void zelana_from_mont_batch(const u64 *in, i64 n, u64 *out) {
   }
 }
 
-// Generic-modulus Montgomery encode: out[i] = in[i] * 2^256 mod m, for ANY
-// odd 256-bit modulus (the MSM point pools are over Fq, not Fr; Python's
-// per-element encode_mont is minutes at a production key's 5.7M points).
-// mod/r2: canonical limbs; inv = -mod^{-1} mod 2^64.
+// Generic-modulus CIOS Montgomery multiply (ANY odd 256-bit modulus; the
+// MSM point pools and keygen tails are over Fq, not the baked-in Fr).
+// mod: canonical limbs; inv = -mod^{-1} mod 2^64.
+static void mmul_any(const u64 a[4], const u64 b[4], const u64 *mod,
+                     u64 inv, u64 res[4]) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 cur = (u128)t[j] + (u128)a[i] * b[j] + carry;
+      t[j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    u128 cur = (u128)t[4] + carry;
+    t[4] = (u64)cur;
+    t[5] = (u64)(cur >> 64);
+    u64 m = t[0] * inv;
+    carry = ((u128)t[0] + (u128)m * mod[0]) >> 64;
+    for (int j = 1; j < 4; ++j) {
+      u128 cur2 = (u128)t[j] + (u128)m * mod[j] + carry;
+      t[j - 1] = (u64)cur2;
+      carry = cur2 >> 64;
+    }
+    u128 cur3 = (u128)t[4] + carry;
+    t[3] = (u64)cur3;
+    t[4] = t[5] + (u64)(cur3 >> 64);
+  }
+  bool ge = t[4] != 0;
+  if (!ge) {
+    ge = true;
+    for (int i = 3; i >= 0; --i) {
+      if (t[i] != mod[i]) { ge = t[i] > mod[i]; break; }
+    }
+  }
+  if (ge) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+      u128 d = (u128)t[i] - mod[i] - borrow;
+      t[i] = (u64)d;
+      borrow = (d >> 64) & 1;
+    }
+  }
+  std::memcpy(res, t, 32);
+}
+
+// Generic-modulus Montgomery encode: out[i] = in[i] * 2^256 mod m
+// (Python's per-element encode_mont is minutes at a production key's
+// 5.7M points). mod/r2: canonical limbs; inv = -mod^{-1} mod 2^64.
 void zelana_mont_encode_any(const u64 *in, i64 n, const u64 *mod,
                             const u64 *r2, u64 inv, u64 *out) {
-  // local CIOS against the caller's modulus
-  auto mmul = [&](const u64 a[4], const u64 b[4], u64 res[4]) {
-    u64 t[6] = {0, 0, 0, 0, 0, 0};
-    for (int i = 0; i < 4; ++i) {
-      u128 carry = 0;
-      for (int j = 0; j < 4; ++j) {
-        u128 cur = (u128)t[j] + (u128)a[i] * b[j] + carry;
-        t[j] = (u64)cur;
-        carry = cur >> 64;
-      }
-      u128 cur = (u128)t[4] + carry;
-      t[4] = (u64)cur;
-      t[5] = (u64)(cur >> 64);
-      u64 m = t[0] * inv;
-      carry = ((u128)t[0] + (u128)m * mod[0]) >> 64;
-      for (int j = 1; j < 4; ++j) {
-        u128 cur2 = (u128)t[j] + (u128)m * mod[j] + carry;
-        t[j - 1] = (u64)cur2;
-        carry = cur2 >> 64;
-      }
-      u128 cur3 = (u128)t[4] + carry;
-      t[3] = (u64)cur3;
-      t[4] = t[5] + (u64)(cur3 >> 64);
-    }
-    bool ge = t[4] != 0;
-    if (!ge) {
-      ge = true;
-      for (int i = 3; i >= 0; --i) {
-        if (t[i] != mod[i]) { ge = t[i] > mod[i]; break; }
-      }
-    }
-    if (ge) {
-      u128 borrow = 0;
-      for (int i = 0; i < 4; ++i) {
-        u128 d = (u128)t[i] - mod[i] - borrow;
-        t[i] = (u64)d;
-        borrow = (d >> 64) & 1;
-      }
-    }
-    std::memcpy(res, t, 32);
+  for (i64 i = 0; i < n; ++i) mmul_any(in + 4 * i, r2, mod, inv, out + 4 * i);
+}
+
+// Batch projective -> affine over ANY modulus: Montgomery-domain inputs
+// (X, Y, Z as (n,4) u64 limbs), canonical affine outputs (n, 8) +
+// infinity mask. ONE modular inversion total (Montgomery batch
+// inversion); this is the keygen host tail that was per-element Python
+// bigints over ~7M points at the production chunk shape.
+void zelana_proj_affine_any(const u64 *xs, const u64 *ys, const u64 *zs,
+                            i64 n, const u64 *mod, const u64 *r2, u64 inv,
+                            u64 *out_xy, unsigned char *out_inf) {
+  u64 one_cl[4] = {1, 0, 0, 0};
+  u64 one_m[4]; // R mod p = mont(1)
+  mmul_any(one_cl, r2, mod, inv, one_m);
+  auto is_zero = [](const u64 *v) {
+    return !(v[0] | v[1] | v[2] | v[3]);
   };
-  for (i64 i = 0; i < n; ++i) mmul(in + 4 * i, r2, out + 4 * i);
+  // prefix products of the non-zero Zs
+  std::vector<u64> prefix((n + 1) * 4);
+  std::memcpy(prefix.data(), one_m, 32);
+  for (i64 i = 0; i < n; ++i) {
+    const u64 *z = zs + 4 * i;
+    const u64 *use = is_zero(z) ? one_m : z;
+    mmul_any(prefix.data() + 4 * i, use, mod, inv, prefix.data() + 4 * (i + 1));
+  }
+  // invert the total: acc = total^(p-2) via square-and-multiply (the
+  // exponent is the canonical modulus minus 2)
+  u64 e[4];
+  std::memcpy(e, mod, 32);
+  // e = mod - 2 (mod is odd so no deep borrow)
+  e[0] -= 2;
+  u64 acc[4], base[4];
+  std::memcpy(acc, one_m, 32);
+  std::memcpy(base, prefix.data() + 4 * n, 32);
+  for (int bit = 255; bit >= 0; --bit) {
+    mmul_any(acc, acc, mod, inv, acc);
+    if ((e[bit / 64] >> (bit % 64)) & 1) mmul_any(acc, base, mod, inv, acc);
+  }
+  // walk back: zinv_i = acc * prefix_i; acc *= z_i
+  std::vector<u64> zinv(n * 4);
+  for (i64 i = n - 1; i >= 0; --i) {
+    const u64 *z = zs + 4 * i;
+    const u64 *use = is_zero(z) ? one_m : z;
+    mmul_any(acc, prefix.data() + 4 * i, mod, inv, zinv.data() + 4 * i);
+    mmul_any(acc, use, mod, inv, acc);
+  }
+  for (i64 i = 0; i < n; ++i) {
+    const u64 *z = zs + 4 * i;
+    if (is_zero(z)) {
+      out_inf[i] = 1;
+      std::memset(out_xy + 8 * i, 0, 64);
+      continue;
+    }
+    out_inf[i] = 0;
+    u64 xm[4], ym[4];
+    mmul_any(xs + 4 * i, zinv.data() + 4 * i, mod, inv, xm);
+    mmul_any(ys + 4 * i, zinv.data() + 4 * i, mod, inv, ym);
+    // Montgomery -> canonical: multiply by 1
+    mmul_any(xm, one_cl, mod, inv, out_xy + 8 * i);
+    mmul_any(ym, one_cl, mod, inv, out_xy + 8 * i + 4);
+  }
 }
 
 // out[j] = scale * t^j for j < m (keygen h_query scalars), canonical I/O.

@@ -118,9 +118,10 @@ def test_qap_native_matches_python():
     want = evaluate_qap_at(A, B, C, ni, len(z), t)
     domain = Domain.new(len(A) + ni)
     got = _qap_at_native(system, t, domain)
-    assert got[0] == want[0]
-    assert got[1] == want[1]
-    assert got[2] == want[2]
+    # a/b/c now stay (n, 4) u64 limb arrays end to end
+    assert native_synth.fr_ints(got[0]) == want[0]
+    assert native_synth.fr_ints(got[1]) == want[1]
+    assert native_synth.fr_ints(got[2]) == want[2]
     assert got[3] == want[3]  # Z(t)
 
 

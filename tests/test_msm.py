@@ -145,6 +145,19 @@ def test_fixed_base_g1_matches_mul():
         assert p == G1.mul(g, s), f"scalar {s}"
 
 
+def test_fixed_base_g1_array_scalars_match_int_scalars():
+    """The (n, 4) u64 limb-array scalar input (native keygen format) must
+    produce the same points as the int-list path."""
+    from zelana_tpu.ops import fixed_base as FB
+    from zelana_tpu.r1cs.native_synth import fr_array
+
+    g = G1.generator()
+    table = FB.prepare_table_g1(g)
+    scalars = [rng.randrange(R) for _ in range(4)] + [0, 1, R - 1]
+    got = FB.fixed_base_msm(table, fr_array(scalars))
+    assert got == FB.fixed_base_msm(table, scalars)
+
+
 def test_fixed_base_g2_matches_mul():
     from zelana_tpu.ops import fixed_base as FB
 

@@ -43,6 +43,63 @@ def test_chacha20_rfc7539_block():
     assert got == expect
 
 
+def test_chacha12_strombergson_tc1_keystream():
+    """External anchor for the 12-round stream (rand 0.8 StdRng's core):
+    draft-strombergson-chacha-test-vectors-01 TC1, 256-bit all-zero key,
+    all-zero IV, ChaCha12 keystream block 0 -- the same published vector
+    rand_chacha's own test_chacha_true_values uses for its round-count
+    variants. Anchors that \"12 rounds\" means 6 double-rounds and that
+    next_u32 reads keystream words little-endian."""
+    rng = ChaChaRng(b"\x00" * 32, rounds=12)
+    got = b"".join(rng.next_u32().to_bytes(4, "little") for _ in range(8))
+    assert got.hex() == (
+        "9bf49a6a0755f953811fce125f2683d5"
+        "0429c3bb49e074147e0089a52eae155f"
+    )
+
+
+def test_chacha20_zero_key_keystream_rand_chacha_words():
+    """The famous all-zero-key ChaCha20 keystream (strombergson TC1 /
+    known-answer in countless implementations), read back as the exact
+    u32 word sequence rand_chacha's test_chacha_true_values_a asserts --
+    anchoring the word-consumption convention against the crate's own
+    published test."""
+    rng = ChaChaRng(b"\x00" * 32, rounds=20)
+    words = [rng.next_u32() for _ in range(8)]
+    assert words == [
+        0xade0b876, 0x903df1a0, 0xe56a5d40, 0x28bd8653,
+        0xb819d2bd, 0x1aed8da0, 0xccef36a8, 0xc70d778b,
+    ]
+    # same words as bytes = the canonical keystream
+    stream = b"".join(w.to_bytes(4, "little") for w in words)
+    assert stream.hex() == (
+        "76b8e0ada0f13d90405d6ae55386bd28"
+        "bdd219b8a08ded1aa836efcc8b770dc7"
+    )
+
+
+def test_pcg32_xsh_rr_reference_outputs():
+    """External anchor for the XSH-RR output function + LCG multiplier
+    inside seed_from_u64: O'Neill's pcg32-demo published outputs for
+    pcg32_srandom(42, 54) -- \"0xa15c02b7 0x7b47f409 0xba1d3330
+    0x83d2f293\". The reference seeding is state=0; step; state+=42; step;
+    outputs come from the PRE-step state with inc=(54<<1)|1."""
+    from zelana_tpu.groth16.stdrng import pcg_xsh_rr
+
+    MUL = 6364136223846793005
+    MASK = (1 << 64) - 1
+    inc = ((54 << 1) | 1) & MASK
+    state = 0
+    state = (state * MUL + inc) & MASK
+    state = (state + 42) & MASK
+    state = (state * MUL + inc) & MASK
+    out = []
+    for _ in range(4):
+        out.append(pcg_xsh_rr(state))
+        state = (state * MUL + inc) & MASK
+    assert out == [0xA15C02B7, 0x7B47F409, 0xBA1D3330, 0x83D2F293]
+
+
 def test_seed_from_u64_pcg32_expansion():
     # deterministic, distinct across seeds, 32 bytes
     s0 = seed_from_u64(0)

@@ -84,17 +84,20 @@ def keygen_synthesized(system, seed: int = 0) -> ProvingKey:
 
 
 def _qap_at_native(system, t: int, domain):
-    """evaluate_qap_at over the native CSR system. Returns (a, b, c, zt)."""
-    from ..r1cs.native_synth import fr_ints, lagrange_at
+    """evaluate_qap_at over the native CSR system. Returns
+    (a, b, c, zt) with a/b/c as (num_vars, 4) u64 canonical limb arrays
+    (no per-element int conversion -- ~5M vars at the chunk shape)."""
+    from ..r1cs.native_synth import fr_array, fr_ints, lagrange_at
 
     u, zt = lagrange_at(domain.group_gen, domain.size_inv, t, domain.size)
-    a = fr_ints(system.qap_accumulate("A", u))
-    b = fr_ints(system.qap_accumulate("B", u))
-    c = fr_ints(system.qap_accumulate("C", u))
+    a = system.qap_accumulate("A", u)
+    b = system.qap_accumulate("B", u)
+    c = system.qap_accumulate("C", u)
     u_tail = fr_ints(u[system.num_constraints:
                        system.num_constraints + system.num_instance])
-    for i in range(system.num_instance):
-        a[i] = (a[i] + u_tail[i]) % FR
+    a_head = fr_ints(a[:system.num_instance])
+    a[:system.num_instance] = fr_array([
+        (a_head[i] + u_tail[i]) % FR for i in range(system.num_instance)])
     return a, b, c, zt
 
 
@@ -121,14 +124,41 @@ def _keygen_impl(A, B, C, num_instance, num_vars, seed, system) -> ProvingKey:
         if domain.evaluate_vanishing_polynomial(t) != 0:
             break
 
+    gamma_inv = pow(gamma, FR - 2, FR)
+    delta_inv = pow(delta, FR - 2, FR)
+
     if system is not None:
+        # native path: a/b/c stay (n, 4) u64 limb arrays end to end; the
+        # h/l/abc scalar combines run in C (csrc powers_scaled /
+        # abc_combine) instead of ~2M-modmul Python loops
+        from ..r1cs.native_synth import abc_combine, fr_ints, powers_scaled
+
         a, b, c, zt = _qap_at_native(system, t, domain)
+        m = domain.size
+        ni = num_instance
+        h_s = powers_scaled(t, zt * delta_inv % FR, m - 1)
+        l_s = abc_combine(a[ni:], b[ni:], c[ni:], beta, alpha, delta_inv)
+        abc_scalars = fr_ints(
+            abc_combine(a[:ni], b[:ni], c[:ni], beta, alpha, gamma_inv))
+        a_s, b_s = a, b
     else:
         a, b, c, zt, domain = evaluate_qap_at(
             A, B, C, num_instance, num_vars, t)
-
-    gamma_inv = pow(gamma, FR - 2, FR)
-    delta_inv = pow(delta, FR - 2, FR)
+        m = domain.size
+        h_s = []
+        tj = 1
+        for _ in range(m - 1):
+            h_s.append(tj * zt % FR * delta_inv % FR)
+            tj = tj * t % FR
+        l_s = [
+            (beta * a[i] + alpha * b[i] + c[i]) % FR * delta_inv % FR
+            for i in range(num_instance, num_vars)
+        ]
+        abc_scalars = [
+            (beta * a[i] + alpha * b[i] + c[i]) % FR * gamma_inv % FR
+            for i in range(num_instance)
+        ]
+        a_s, b_s = a, b
 
     fb1 = FixedBase(g1_gen, G1)
     fb2 = FixedBase(g2_gen, G2)
@@ -137,51 +167,45 @@ def _keygen_impl(A, B, C, num_instance, num_vars, seed, system) -> ProvingKey:
     # host windowed tables take minutes at ~10k points and days at the
     # batch circuit's ~1.6M); tiny circuits stay host-side to skip the
     # 2x8160-point table build.
-    m = domain.size
     if num_vars + m >= 4096:
         from ..ops.fixed_base import (
             fixed_base_msm,
             prepare_table_g1,
             prepare_table_g2,
         )
+        import numpy as _np
 
         tg1 = prepare_table_g1(g1_gen)
         tg2 = prepare_table_g2(g2_gen)
 
-        def msm1(scalars: List[int]):
+        def msm1(scalars):
+            if isinstance(scalars, _np.ndarray):
+                return fixed_base_msm(tg1, scalars)
             return fixed_base_msm(tg1, [s % FR for s in scalars])
 
-        def msm2(scalars: List[int]):
+        def msm2(scalars):
+            if isinstance(scalars, _np.ndarray):
+                return fixed_base_msm(tg2, scalars)
             return fixed_base_msm(tg2, [s % FR for s in scalars])
     else:
-        def msm1(scalars: List[int]):
-            return [fb1.mul(s) if s else None for s in scalars]
+        from ..r1cs.native_synth import fr_ints as _fr_ints
+        import numpy as _np
 
-        def msm2(scalars: List[int]):
-            return [fb2.mul(s) if s else None for s in scalars]
+        def _ints(s):
+            return _fr_ints(s) if isinstance(s, _np.ndarray) else s
 
-    a_query = msm1(a)
-    b_g1_query = msm1(b)
-    b_g2_query = msm2(b)
+        def msm1(scalars):
+            return [fb1.mul(s) if s else None for s in _ints(scalars)]
 
-    # h_query: (t^j * zt * delta_inv) G1 for j in 0..m-1
-    h_scalars = []
-    tj = 1
-    for _ in range(m - 1):
-        h_scalars.append(tj * zt % FR * delta_inv % FR)
-        tj = tj * t % FR
-    h_query = msm1(h_scalars)
+        def msm2(scalars):
+            return [fb2.mul(s) if s else None for s in _ints(scalars)]
 
-    l_scalars = [
-        (beta * a[i] + alpha * b[i] + c[i]) % FR * delta_inv % FR
-        for i in range(num_instance, num_vars)
-    ]
-    l_query = msm1(l_scalars)
+    a_query = msm1(a_s)
+    b_g1_query = msm1(b_s)
+    b_g2_query = msm2(b_s)
+    h_query = msm1(h_s)
+    l_query = msm1(l_s)
 
-    abc_scalars = [
-        (beta * a[i] + alpha * b[i] + c[i]) % FR * gamma_inv % FR
-        for i in range(num_instance)
-    ]
     gamma_abc = [fb1.mul(s) if s else None for s in abc_scalars]
 
     vk = VerifyingKey(

@@ -41,17 +41,23 @@ _PCG_INC = 11634580027462260723
 _SIGMA = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)
 
 
+def pcg_xsh_rr(state: int) -> int:
+    """PCG XSH-RR 64/32 output function (O'Neill's pcg32; the function
+    rand_core 0.6's seed_from_u64 applies to each LCG state). Anchored to
+    the published pcg32-demo outputs in tests/test_stdrng.py."""
+    xorshifted = ((state >> 18) ^ state) >> 27 & MASK32
+    rot = state >> 59
+    return ((xorshifted >> rot) | (xorshifted << (32 - rot) & MASK32)
+            ) & MASK32 if rot else xorshifted
+
+
 def seed_from_u64(state: int) -> bytes:
     """rand_core 0.6 `SeedableRng::seed_from_u64`: PCG32-filled 32B seed."""
     state &= MASK64
     out = bytearray()
     for _ in range(8):
         state = (state * _PCG_MUL + _PCG_INC) & MASK64
-        xorshifted = ((state >> 18) ^ state) >> 27 & MASK32
-        rot = state >> 59
-        x = ((xorshifted >> rot) | (xorshifted << (32 - rot) & MASK32)
-             ) & MASK32 if rot else xorshifted
-        out += x.to_bytes(4, "little")
+        out += pcg_xsh_rr(state).to_bytes(4, "little")
     return bytes(out)
 
 

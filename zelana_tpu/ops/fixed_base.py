@@ -218,10 +218,56 @@ def _run_fb(X, Y, packed_scalars, curve, n, total_alloc):
 # ---------------------------------------------------------------------------
 
 
+def _finish_fb_native_g1(g: np.ndarray):
+    """Native batch projective->affine for G1 (csrc
+    zelana_proj_affine_any): Montgomery decode + ONE-inversion batch
+    affine in C. The Python tail below is per-element bigints -- minutes
+    over the ~5.7M G1 points of a production chunk keygen."""
+    try:
+        from ..r1cs.native_synth import load
+
+        lib = load()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "zelana_proj_affine_any"):
+        return None
+    n = g.shape[1]
+
+    def to_u64(rows):  # (16, n) u32 16-bit planes -> (n, 4) u64 LE
+        return np.ascontiguousarray(
+            rows.T.astype(np.uint16)).view("<u8").reshape(n, 4)
+
+    xs, ys, zs = to_u64(g[0:16]), to_u64(g[16:32]), to_u64(g[32:48])
+    mod = np.frombuffer(int(FQ_MOD).to_bytes(32, "little"), "<u8").copy()
+    r2 = np.frombuffer(
+        int(L.FQ.r2_mod_p).to_bytes(32, "little"), "<u8").copy()
+    inv64 = (-pow(FQ_MOD, -1, 1 << 64)) % (1 << 64)
+    out = np.empty((n, 8), np.uint64)
+    inf = np.empty(n, np.uint8)
+    lib.zelana_proj_affine_any(
+        xs.ctypes.data, ys.ctypes.data, zs.ctypes.data, n,
+        mod.ctypes.data, r2.ctypes.data, L.ctypes_u64(inv64),
+        out.ctypes.data, inf.ctypes.data)
+    buf = out.tobytes()
+    pts = []
+    for i in range(n):
+        if inf[i]:
+            pts.append(None)
+            continue
+        off = 64 * i
+        pts.append((int.from_bytes(buf[off:off + 32], "little"),
+                    int.from_bytes(buf[off + 32:off + 64], "little")))
+    return pts
+
+
 def _finish_fb(g, curve: str):
     """(2C, n) limb rows -> list of affine points (None for infinity)."""
     fq2 = curve == "g2"
     g = np.asarray(g)
+    if not fq2:
+        native = _finish_fb_native_g1(g)
+        if native is not None:
+            return native
 
     def dec(rows):
         return L.decode_mont(rows, L.FQ)
@@ -276,11 +322,14 @@ def _chunk_size(n: int) -> int:
 
 def fixed_base_msm(table, scalars):
     """scalar_i * base for each i. `table` from prepare_table_g1/g2;
-    scalars are python ints (standard form). Returns affine points with
-    None for the zero scalar. Chunks are dispatched back to back, so chunk
-    k+1's host prep overlaps chunk k's device execution."""
+    scalars are python ints (standard form) or an (n, 4) u64 LE limb
+    array (the native keygen format -- no per-element conversion).
+    Returns affine points with None for the zero scalar. Chunks are
+    dispatched back to back, so chunk k+1's host prep overlaps chunk k's
+    device execution."""
     curve, coords = table
     X, Y = coords
+    is_arr = isinstance(scalars, np.ndarray)
     n = len(scalars)
     if n == 0:
         return []
@@ -289,7 +338,16 @@ def fixed_base_msm(table, scalars):
     for lo in range(0, n, chunk):
         part = scalars[lo: lo + chunk]
         pad = chunk - len(part)
-        limbs = L.to_limbs(list(part) + [0] * pad)
+        if is_arr:
+            rows = np.ascontiguousarray(part, dtype=np.uint64)
+            if pad:
+                rows = np.concatenate(
+                    [rows, np.zeros((pad, 4), np.uint64)])
+            # (chunk, 4) u64 -> (16, chunk) u32 16-bit planes
+            limbs = np.ascontiguousarray(
+                rows.view("<u2").reshape(chunk, 16).T).astype(np.uint32)
+        else:
+            limbs = L.to_limbs(list(part) + [0] * pad)
         packed = (limbs[0::2] + (limbs[1::2] << 16)).astype(np.uint32)
         _, _, total = _slot_plan(chunk)
         handles.append(
