@@ -331,6 +331,47 @@ def test_real_chunk_proofs_end_to_end():
         assert res.signature
 
 
+@pytest.mark.skipif(
+    os.environ.get("ZELANA_SLOW_TESTS") != "1",
+    reason="production 8/4/4 depth-32 prove (~1.13M constraints)",
+)
+def test_production_chunk_key_cached_prove():
+    """Load the cached PRODUCTION proving key (8/4/4 depth 32, seed-0
+    deterministic -- built once by tools/prove_chunk_full.py) and prove a
+    maximally-occupied chunk, including a full-verification shielded
+    spend. The committed CHUNK_BENCH.json records the same run's timings
+    on the TPU."""
+    key_path = os.environ.get(
+        "ZELANA_CHUNK_KEY",
+        "/root/.cache/zelana_tpu_keys/chunk_8_4_4_d32.npz")
+    if not os.path.exists(key_path):
+        pytest.skip(f"cached production key not present at {key_path} "
+                    "(generate with tools/prove_chunk_full.py)")
+    from zelana_tpu.groth16.keys import ProvingKey
+
+    cap, depth = (8, 4, 4), 32
+    pk = ProvingKey.load_npz(key_path)
+    assert len(pk.a_query) == 1129391  # production shape fingerprint
+    prover = Groth16ChunkProver(pk, cap, depth)
+
+    builder = ChunkWitnessBuilder(depth)
+    for pk_i in range(1, 16):
+        builder.fund(pk_i, 10_000)
+    note_pos = builder.add_note(spending_key=777, value=50, blinding=42)
+    transfers = [(1 + (i % 8), 1 + ((i + 3) % 8), 10 + i)
+                 for i in range(cap[0])]
+    withdrawals = [(1 + i, 0xAA00 + i, 5 + i) for i in range(cap[1])]
+    shielded = [("full", note_pos, 777, 0xFACE, 50, 4242)] + [
+        1000 + i for i in range(cap[2] - 1)]
+    chunks = Dispatcher.build_chunks_with_witness(
+        builder, transfers, withdrawals, shielded, capacity=cap,
+        pre_shielded_root=builder.shielded_root())
+    assert len(chunks) == 1
+    cp = prover.prove_chunk(chunks[0], batch_id=7)
+    assert len(cp.proof_bytes) == 388
+    assert prover.verify_chunk(cp)
+
+
 def test_ownership_prove_api_and_delegated_verification():
     """Synchronous /v2/ownership/prove (ownership_api.rs:1-45): server-side
     witness -> real Groth16 ownership proof -> verified in the delegated
