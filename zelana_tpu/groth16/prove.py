@@ -168,11 +168,8 @@ def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
     t_b2 = _msm_begin(q, "b2", z, "g2", digits=digits_z)
     t_l = _msm_begin(q, "l", z[num_instance:], "g1",
                      digits=digits_z[:, num_instance:])
-    g_a_sum = MSM.msm_end(t_a)
-    g_b1_sum = MSM.msm_end(t_b1)
-    h_sum = MSM.msm_end(t_h)
-    g_b2_sum = MSM.msm_end(t_b2)
-    l_sum = MSM.msm_end(t_l)
+    g_a_sum, g_b1_sum, h_sum, g_b2_sum, l_sum = MSM.msm_end_many(
+        [t_a, t_b1, t_h, t_b2, t_l])
 
     # assembly (host, a handful of point ops)
     g_a = G1.add(G1.add(pk.vk.alpha_g1, g_a_sum), G1.mul(pk.delta_g1, r))
@@ -262,11 +259,8 @@ def prove_synthesized(pk: ProvingKey, system, batch_id: int = 0,
     t_l = _msm_begin(
         q, "l", z_ints[num_instance:] if z_ints is not None else None,
         "g1", digits=digits_z[:, num_instance:])
-    g_a_sum = MSM.msm_end(t_a)
-    g_b1_sum = MSM.msm_end(t_b1)
-    h_sum = MSM.msm_end(t_h)
-    g_b2_sum = MSM.msm_end(t_b2)
-    l_sum = MSM.msm_end(t_l)
+    g_a_sum, g_b1_sum, h_sum, g_b2_sum, l_sum = MSM.msm_end_many(
+        [t_a, t_b1, t_h, t_b2, t_l])
 
     g_a = G1.add(G1.add(pk.vk.alpha_g1, g_a_sum), G1.mul(pk.delta_g1, r))
     g_b1 = G1.add(G1.add(pk.beta_g1, g_b1_sum), G1.mul(pk.delta_g1, s))

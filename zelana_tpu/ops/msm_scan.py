@@ -706,22 +706,50 @@ def _dispatch_schedule_unpacked(pool, s: Schedule, curve: str):
     )
 
 
+def _finish_multi(finals, curve):
+    from ..curves import g1 as G1, g2 as G2
+
+    add = G1.add if curve == "g1" else G2.add
+    acc = None
+    for f in finals:
+        pt = _finish_host(f, curve, window_bits=SCAN_BITS,
+                          n_windows=SCAN_WINDOWS)
+        if pt is not None:
+            acc = add(acc, pt)
+    return acc
+
+
 def msm_end(handle):
     g, curve = handle
     if isinstance(g, _MultiMsm):
-        from ..curves import g1 as G1, g2 as G2
-
-        add = G1.add if curve == "g1" else G2.add
-        finals = g.done + [np.asarray(p) for p in g.pending]
-        acc = None
-        for f in finals:
-            pt = _finish_host(f, curve, window_bits=SCAN_BITS,
-                              n_windows=SCAN_WINDOWS)
-            if pt is not None:
-                acc = add(acc, pt)
-        return acc
+        return _finish_multi(g.done + [np.asarray(p) for p in g.pending],
+                             curve)
     return _finish_host(g, curve, window_bits=SCAN_BITS,
                         n_windows=SCAN_WINDOWS)
+
+
+def msm_end_many(handles):
+    """msm_end over several handles with the device->host copies of ALL
+    result buffers issued asynchronously before any is awaited (one
+    relay round trip each otherwise -- ~120 ms x 5 per Groth16 prove).
+    jax.device_get issues copy_to_host_async on every leaf first."""
+    import jax
+
+    flat = []
+    for g, _curve in handles:
+        flat.extend(g.pending if isinstance(g, _MultiMsm) else [g])
+    fetched = iter(jax.device_get(flat))
+    out = []
+    for g, curve in handles:
+        if isinstance(g, _MultiMsm):
+            finals = g.done + [np.asarray(next(fetched))
+                               for _ in g.pending]
+            out.append(_finish_multi(finals, curve))
+        else:
+            out.append(_finish_host(np.asarray(next(fetched)), curve,
+                                    window_bits=SCAN_BITS,
+                                    n_windows=SCAN_WINDOWS))
+    return out
 
 
 def msm_g1_prepared(prepared, scalars):
