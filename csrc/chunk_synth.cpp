@@ -798,6 +798,127 @@ void zelana_mont_encode_any(const u64 *in, i64 n, const u64 *mod,
   for (i64 i = 0; i < n; ++i) mmul_any(in + 4 * i, r2, mod, inv, out + 4 * i);
 }
 
+static void add_any(const u64 a[4], const u64 b[4], const u64 *mod,
+                    u64 res[4]) {
+  u64 t[4];
+  u128 carry = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 s = (u128)a[i] + b[i] + carry;
+    t[i] = (u64)s;
+    carry = s >> 64;
+  }
+  bool ge = carry != 0;
+  if (!ge) {
+    ge = true;
+    for (int i = 3; i >= 0; --i) {
+      if (t[i] != mod[i]) { ge = t[i] > mod[i]; break; }
+    }
+  }
+  if (ge) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+      u128 d = (u128)t[i] - mod[i] - borrow;
+      t[i] = (u64)d;
+      borrow = (d >> 64) & 1;
+    }
+  }
+  std::memcpy(res, t, 32);
+}
+
+static void neg_any(const u64 a[4], const u64 *mod, u64 res[4]) {
+  bool zero = !(a[0] | a[1] | a[2] | a[3]);
+  if (zero) {
+    std::memset(res, 0, 32);
+    return;
+  }
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 d = (u128)mod[i] - a[i] - borrow;
+    res[i] = (u64)d;
+    borrow = (d >> 64) & 1;
+  }
+}
+
+// Batch projective -> affine over Fq2 = Fq[u]/(u^2+1) (BN254 G2).
+// Coordinates are (c0, c1) pairs of Montgomery Fq limbs laid out as
+// (n, 8) u64 per coordinate array. Fq2 inversion routes through ONE
+// batched Fq inversion of the norms c0^2 + c1^2.
+void zelana_proj_affine_fq2(const u64 *xs, const u64 *ys, const u64 *zs,
+                            i64 n, const u64 *mod, const u64 *r2, u64 inv,
+                            u64 *out_xy, unsigned char *out_inf) {
+  u64 one_cl[4] = {1, 0, 0, 0};
+  u64 one_m[4];
+  mmul_any(one_cl, r2, mod, inv, one_m);
+  auto is_zero2 = [](const u64 *v) {
+    return !(v[0] | v[1] | v[2] | v[3] | v[4] | v[5] | v[6] | v[7]);
+  };
+  // norms of the non-zero Zs (Montgomery domain)
+  std::vector<u64> norm(n * 4);
+  for (i64 i = 0; i < n; ++i) {
+    const u64 *z = zs + 8 * i;
+    if (is_zero2(z)) {
+      std::memcpy(norm.data() + 4 * i, one_m, 32);
+      continue;
+    }
+    u64 a2[4], b2[4];
+    mmul_any(z, z, mod, inv, a2);
+    mmul_any(z + 4, z + 4, mod, inv, b2);
+    add_any(a2, b2, mod, norm.data() + 4 * i);
+  }
+  // batch-invert the norms (prefix products + one exponentiation)
+  std::vector<u64> prefix((n + 1) * 4);
+  std::memcpy(prefix.data(), one_m, 32);
+  for (i64 i = 0; i < n; ++i)
+    mmul_any(prefix.data() + 4 * i, norm.data() + 4 * i, mod, inv,
+             prefix.data() + 4 * (i + 1));
+  u64 e[4];
+  std::memcpy(e, mod, 32);
+  e[0] -= 2;
+  u64 acc[4], base[4];
+  std::memcpy(acc, one_m, 32);
+  std::memcpy(base, prefix.data() + 4 * n, 32);
+  for (int bit = 255; bit >= 0; --bit) {
+    mmul_any(acc, acc, mod, inv, acc);
+    if ((e[bit / 64] >> (bit % 64)) & 1) mmul_any(acc, base, mod, inv, acc);
+  }
+  std::vector<u64> ninv(n * 4);
+  for (i64 i = n - 1; i >= 0; --i) {
+    mmul_any(acc, prefix.data() + 4 * i, mod, inv, ninv.data() + 4 * i);
+    mmul_any(acc, norm.data() + 4 * i, mod, inv, acc);
+  }
+  // zinv = (z0 * ninv, -z1 * ninv); affine = coord * zinv (Fq2 mul);
+  // then Montgomery -> canonical
+  for (i64 i = 0; i < n; ++i) {
+    const u64 *z = zs + 8 * i;
+    u64 *out = out_xy + 16 * i;
+    if (is_zero2(z)) {
+      out_inf[i] = 1;
+      std::memset(out, 0, 128);
+      continue;
+    }
+    out_inf[i] = 0;
+    u64 zi0[4], zi1[4], t[4];
+    mmul_any(z, ninv.data() + 4 * i, mod, inv, zi0);
+    mmul_any(z + 4, ninv.data() + 4 * i, mod, inv, t);
+    neg_any(t, mod, zi1);
+    const u64 *coords[2] = {xs + 8 * i, ys + 8 * i};
+    for (int c = 0; c < 2; ++c) {
+      const u64 *v = coords[c];
+      // (v0 + v1 u)(zi0 + zi1 u) = (v0 zi0 - v1 zi1) + (v0 zi1 + v1 zi0) u
+      u64 p00[4], p11[4], p01[4], p10[4], r0[4], r1[4], n11[4];
+      mmul_any(v, zi0, mod, inv, p00);
+      mmul_any(v + 4, zi1, mod, inv, p11);
+      mmul_any(v, zi1, mod, inv, p01);
+      mmul_any(v + 4, zi0, mod, inv, p10);
+      neg_any(p11, mod, n11);
+      add_any(p00, n11, mod, r0);
+      add_any(p01, p10, mod, r1);
+      mmul_any(r0, one_cl, mod, inv, out + 8 * c);
+      mmul_any(r1, one_cl, mod, inv, out + 8 * c + 4);
+    }
+  }
+}
+
 // Batch projective -> affine over ANY modulus: Montgomery-domain inputs
 // (X, Y, Z as (n,4) u64 limbs), canonical affine outputs (n, 8) +
 // infinity mask. ONE modular inversion total (Montgomery batch

@@ -260,12 +260,62 @@ def _finish_fb_native_g1(g: np.ndarray):
     return pts
 
 
+def _finish_fb_native_g2(g: np.ndarray):
+    """Native batch projective->affine for G2 (zelana_proj_affine_fq2):
+    Fq2 inversion via one batched Fq norm inversion in C."""
+    try:
+        from ..r1cs.native_synth import load
+
+        lib = load()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "zelana_proj_affine_fq2"):
+        return None
+    n = g.shape[1]
+
+    def to_u64_pair(rows0, rows1):  # two (16, n) planes -> (n, 8) u64
+        c0 = np.ascontiguousarray(
+            rows0.T.astype(np.uint16)).view("<u8").reshape(n, 4)
+        c1 = np.ascontiguousarray(
+            rows1.T.astype(np.uint16)).view("<u8").reshape(n, 4)
+        return np.ascontiguousarray(np.concatenate([c0, c1], axis=1))
+
+    xs = to_u64_pair(g[0:16], g[16:32])
+    ys = to_u64_pair(g[32:48], g[48:64])
+    zs = to_u64_pair(g[64:80], g[80:96])
+    mod = np.frombuffer(int(FQ_MOD).to_bytes(32, "little"), "<u8").copy()
+    r2 = np.frombuffer(
+        int(L.FQ.r2_mod_p).to_bytes(32, "little"), "<u8").copy()
+    inv64 = (-pow(FQ_MOD, -1, 1 << 64)) % (1 << 64)
+    out = np.empty((n, 16), np.uint64)
+    inf = np.empty(n, np.uint8)
+    lib.zelana_proj_affine_fq2(
+        xs.ctypes.data, ys.ctypes.data, zs.ctypes.data, n,
+        mod.ctypes.data, r2.ctypes.data, L.ctypes_u64(inv64),
+        out.ctypes.data, inf.ctypes.data)
+    buf = out.tobytes()
+    pts = []
+    for i in range(n):
+        if inf[i]:
+            pts.append(None)
+            continue
+        off = 128 * i
+        vs = [int.from_bytes(buf[off + 32 * j:off + 32 * (j + 1)],
+                             "little") for j in range(4)]
+        pts.append(((vs[0], vs[1]), (vs[2], vs[3])))
+    return pts
+
+
 def _finish_fb(g, curve: str):
     """(2C, n) limb rows -> list of affine points (None for infinity)."""
     fq2 = curve == "g2"
     g = np.asarray(g)
     if not fq2:
         native = _finish_fb_native_g1(g)
+        if native is not None:
+            return native
+    else:
+        native = _finish_fb_native_g2(g)
         if native is not None:
             return native
 

@@ -77,6 +77,9 @@ def load():
     lib.zelana_proj_affine_any.argtypes = [
         _p, _p, _p, ctypes.c_int64, _p, _p, ctypes.c_uint64, _p, _p,
     ]
+    lib.zelana_proj_affine_fq2.argtypes = [
+        _p, _p, _p, ctypes.c_int64, _p, _p, ctypes.c_uint64, _p, _p,
+    ]
     lib.zelana_abc_combine.argtypes = [_p] * 6 + [ctypes.c_int64, _p]
     lib.zelana_csr_check.argtypes = [_p] * 10 + [
         ctypes.c_int64, _p, ctypes.c_int64, ctypes.c_int64,

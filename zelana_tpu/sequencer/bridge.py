@@ -4,9 +4,10 @@ Mirrors core/src/sequencer/bridge/:
 
 - deposit ingest (ingest.rs): parses `ZE_DEPOSIT:<pk>:<amt>:<nonce>` log
   lines from the L1 bridge program, dedups by l1_seq, persists the last
-  processed slot, routes into the pipeline. The log source is pluggable
-  (the reference subscribes over Solana WS; this environment has no egress,
-  so the feed is an iterator -- tests drive it directly).
+  processed slot, routes into the pipeline. The log source is pluggable:
+  an iterator for tests, or the real WebSocket `logsSubscribe` transport
+  in sequencer/ws.py (`start_ws_indexer`, mirroring the reference's
+  Solana pubsub subscription + reconnect).
 - withdrawal queue (withdrawals.rs): Pending -> InBatch -> Submitted ->
   Finalized tracking plus the withdrawal Merkle root.
 - fast withdrawals (fast_withdrawals.rs): LP-fronted instant exits with
