@@ -8,6 +8,40 @@ from zelana_tpu.hashes.poseidon import (
 )
 
 
+def test_mimc_fused_pallas_kernel_structure():
+    """The fused Pallas MiMC kernel (state VMEM-resident across the round
+    grid, SMEM round constants) validated at a reduced round count in
+    interpret mode -- a full 91-round interpret run is minutes; the
+    91-round path equals the scan path on device (validated by bench.py's
+    mimc leg, which routes through the fused kernel on TPU)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zelana_tpu.fields.bn254 import R as FR_MOD
+    from zelana_tpu.ops import limbs as L
+    from zelana_tpu.ops.pallas_field import mimc_permute_call
+
+    rng = np.random.default_rng(3)
+    n = 1024
+    n_rounds = 3
+    consts = [7, 12345, 0xDEADBEEF]
+    vals = [int(x) for x in rng.integers(0, 1 << 60, size=n)]
+    x = jnp.asarray(L.encode_mont(vals, L.FR)).reshape(L.NLIMBS, n // 128,
+                                                       128)
+    rc = jnp.asarray(L.encode_mont(consts, L.FR).T.copy())  # (3, 16)
+    got_m = np.asarray(
+        mimc_permute_call(L.FR.modulus, n, n_rounds, True)(rc, x)
+    ).reshape(L.NLIMBS, n)
+    got = L.decode_mont(got_m, L.FR)
+
+    def permute(v):
+        for c in consts:
+            v = pow((v + c) % FR_MOD, 7, FR_MOD)
+        return v
+
+    assert got == [permute(v) for v in vals]
+
+
 def test_mimc_hash2_batch():
     pairs = [(i * 7 + 1, i * 13 + 2) for i in range(16)]
     got = mimc_jax.hash2_many(pairs)

@@ -30,9 +30,25 @@ def _round_constants_mont() -> np.ndarray:
     return L.encode_mont(list(rc), L.FR).T.copy()  # (91, 16)
 
 
+def _use_fused() -> bool:
+    """Fused-kernel opt-in (ZELANA_FUSED_MIMC=1 / ZELANA_FORCE_PALLAS=1).
+
+    MEASURED NEUTRAL on the bench slice (0.177 vs ~0.16 Mhash/s): the
+    permutation is VPU-bound there either way, and the kernel costs one
+    extra ~minutes remote compile per process. On real chips (higher
+    VPU:HBM ratio) the VMEM-resident state is the right default; flip
+    this when the deployment target changes."""
+    import os
+
+    if os.environ.get("ZELANA_FORCE_PALLAS") == "1":
+        return True
+    if os.environ.get("ZELANA_FUSED_MIMC") != "1":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 @functools.partial(jax.jit, static_argnames=())
-def mimc_permute_batch(x):
-    """MiMC permutation with key 0 on a (16, *B) Montgomery batch."""
+def _mimc_permute_scan(x):
     rc = jnp.asarray(_round_constants_mont())  # (91, 16)
     batch = x.shape[1:]
 
@@ -48,6 +64,30 @@ def mimc_permute_batch(x):
 
     state, _ = jax.lax.scan(round_fn, x, rc)
     return state  # key = 0, so no final key addition
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mimc_permute_fused(x, interpret=False):
+    """All 91 rounds in one Pallas kernel, state VMEM-resident
+    (pallas_field.mimc_permute_call); (16, B) batches, B padded to 1024."""
+    from ..ops.pallas_field import mimc_permute_call
+
+    rc = jnp.asarray(_round_constants_mont())  # (91, 16)
+    n = x.shape[1]
+    padded = -(-n // 1024) * 1024
+    if padded != n:
+        x = jnp.pad(x, ((0, 0), (0, padded - n)))
+    x3 = x.reshape(L.NLIMBS, padded // 128, 128)
+    out = mimc_permute_call(L.FR.modulus, padded, rc.shape[0], interpret)(
+        rc, x3)
+    return out.reshape(L.NLIMBS, padded)[:, :n]
+
+
+def mimc_permute_batch(x):
+    """MiMC permutation with key 0 on a (16, *B) Montgomery batch."""
+    if _use_fused() and x.ndim == 2 and x.shape[1] >= 1024:
+        return _mimc_permute_fused(x)
+    return _mimc_permute_scan(x)
 
 
 def mimc_sponge_batch(inputs):

@@ -333,6 +333,66 @@ def mont_mul_pallas(a, b, spec: L.FieldSpec):
 
 
 # ---------------------------------------------------------------------------
+# fused MiMC permutation: all 91 x^7 rounds with the state in VMEM
+# ---------------------------------------------------------------------------
+#
+# The XLA lax.scan path (hashes/mimc_jax.py) spills the (16, B) state to
+# HBM between every round's 4 mont_muls -- measured ~65% of the multiplier
+# bound. Here the grid is (batch tiles, rounds): the round axis iterates
+# fastest, the state lives in a VMEM scratch across rounds, and each grid
+# step is one add + 4 fused multiplies. Round constants ride SMEM.
+
+MIMC_SUB = 8  # sublane rows per tile (1024 batch elements)
+
+
+@functools.lru_cache(maxsize=None)
+def mimc_permute_call(modulus: int, n: int, n_rounds: int, interpret: bool):
+    """call(rc, x) -> MiMC-permuted x (key 0).
+
+    rc: (n_rounds, 16) u32 Montgomery round-constant limbs (SMEM);
+    x:  (16, n//128, 128) u32 Montgomery batch."""
+    mul = _sos_mul_fn(modulus)
+    add_mod, _ = _mod_add_sub(modulus)
+    rows = min(MIMC_SUB, n // 128)
+    tiles = n // (rows * 128)
+
+    def kernel(rc_ref, x_ref, o_ref, state_ref):
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _():
+            state_ref[...] = x_ref[...]
+
+        c = jnp.stack([
+            jnp.full((rows, 128), rc_ref[r, i], jnp.uint32)
+            for i in range(L.NLIMBS)
+        ])
+        t = add_mod(state_ref[...], c)
+        t2 = mul(t, t)
+        t4 = mul(t2, t2)
+        t6 = mul(t4, t2)
+        out = mul(t6, t)
+        state_ref[...] = out
+        o_ref[...] = out  # same block all rounds; last write lands
+
+    return pl.pallas_call(
+        kernel,
+        grid=(tiles, n_rounds),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((L.NLIMBS, rows, 128), lambda i, r: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L.NLIMBS, rows, 128), lambda i, r: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L.NLIMBS, n // 128, 128),
+                                       jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((L.NLIMBS, rows, 128), jnp.uint32)],
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
 # fused NTT butterfly stage: (a, b, tw) -> (a + tw*b, a - tw*b) in ONE kernel
 # ---------------------------------------------------------------------------
 #
