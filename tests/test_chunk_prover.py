@@ -347,6 +347,13 @@ def test_production_chunk_key_cached_prove():
     if not os.path.exists(key_path):
         pytest.skip(f"cached production key not present at {key_path} "
                     "(generate with tools/prove_chunk_full.py)")
+    import jax
+
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("ZELANA_PROD_CHUNK_TEST") != "1"):
+        pytest.skip("1.13M-constraint prove is hours on the CPU backend; "
+                    "runs on TPU (tools/prove_chunk_full.py -> "
+                    "CHUNK_BENCH.json) or with ZELANA_PROD_CHUNK_TEST=1")
     from zelana_tpu.groth16.keys import ProvingKey
 
     cap, depth = (8, 4, 4), 32

@@ -104,3 +104,39 @@ def test_sharded_msm_scan_2e16():
 
     got = sharded_msm_scan(pts, scalars, mesh)
     assert got == expected
+
+
+def test_sharded_msm_segments_beyond_chunk_cap(monkeypatch):
+    """Shards over the uint16 point-id capacity dispatch as point
+    segments with host-side folding (the production h/l query sizes on
+    small meshes). Shrink CHUNK_N so a small mesh MSM crosses segment
+    boundaries, including a ragged tail."""
+    import random
+
+    from zelana_tpu.curves import g1 as G1
+    from zelana_tpu.fields.bn254 import R as FR
+    from zelana_tpu.ops import msm_scan as MS
+    from zelana_tpu.parallel.sharded import (
+        _prepare_sharded,
+        make_mesh,
+        msm_begin_sharded,
+    )
+
+    monkeypatch.setattr(MS, "CHUNK_N", 256)
+    monkeypatch.setattr(MS, "MAX_INFLIGHT", 2)
+    mesh = make_mesh(4)
+    n = 4 * 640  # shard 640 -> segments 256 / 256 / 128 per shard
+    g = G1.generator()
+    base, acc = [], g
+    for _ in range(32):
+        base.append(acc)
+        acc = G1.add(acc, g)
+    pts = [base[i % 32] for i in range(n)]
+    rng = random.Random(4)
+    scalars = [rng.randrange(FR) for _ in range(n)]
+    expected = G1.mul(g, sum(
+        s * (1 + (i % 32)) for i, s in enumerate(scalars)) % FR)
+
+    prep = _prepare_sharded(pts, mesh, "g1")
+    got = MS.msm_end(msm_begin_sharded(prep, scalars, mesh))
+    assert got == expected

@@ -29,7 +29,6 @@ def test_accept_key_rfc_example():
 
 def test_frame_roundtrip_masked_and_lengths():
     import io
-    import socket as _socket
 
     from zelana_tpu.sequencer import ws as W
 
