@@ -178,11 +178,29 @@ def main():
     # speed-of-light context for the record: the scan does ~NW complete
     # Z2=1 adds of 11 muls each; the fused multiplier chain rate bounds
     # the device at ~N*32*11/chain_rate; report the achieved fraction
-    from zelana_tpu.ops.msm_scan import SCAN_WINDOWS
+    from zelana_tpu.ops.msm_scan import SCAN_WINDOWS, _pack_sched, build_schedule, scalar_digits
     sol = msm_n * SCAN_WINDOWS * 11 / (mulps if mulps else 1)
     log(f"device mul-bound SoL: {sol * 1e3:.0f} ms/msm "
         f"-> achieved {sol / dt * 100:.0f}% of mul-bound "
         f"(rest: host->device link + fixed costs)")
+    # upload-bound accounting: the MSM is link-bound on this relay; show
+    # the per-MSM schedule bytes against the link probe so the recorded
+    # throughput carries its own ceiling context (the link rate swings
+    # >2x between runs -- docs/PERFORMANCE.md round 3). Guarded: this
+    # runs BEFORE the primary JSON line and must never kill it.
+    try:
+        sched_mb = _pack_sched(build_schedule(scalar_digits(scalars))
+                               ).nbytes / 1e6
+        t0 = time.time()
+        d = jax.device_put(probe)
+        _ = np.asarray(d[0:1])
+        link = 4 / (time.time() - t0)
+        ub = sched_mb / link
+        log(f"upload bound: {sched_mb:.1f} MB/msm at {link:.1f} MB/s "
+            f"(probe now) = {ub * 1e3:.0f} ms -> achieved "
+            f"{ub / dt * 100:.0f}% of the link-conditioned bound")
+    except Exception as exc:
+        log(f"upload-bound accounting skipped: {exc}")
 
     baseline_mpps = 10.0  # arkworks CPU multicore Pippenger, order of magnitude
     print(
