@@ -1,0 +1,9 @@
+export { ApiClient, ApiError, fromHex, toHex } from "./client";
+export {
+  Signer,
+  ZelanaClient,
+  signerFromPkcs8,
+  transferSigningMessage,
+  withdrawSigningMessage,
+} from "./zelana";
+export * from "./types";
