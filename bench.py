@@ -36,6 +36,31 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+# Metrics accumulated during the run; everything lands in the ONE parsed
+# JSON line (round 3 recorded only msm_g1_throughput -- mimc/ntt/prove
+# regressions were invisible to the driver history, VERDICT r03 weak #7).
+METRICS = {}
+_PRINTED = False
+
+
+def emit_json(mpps: float) -> None:
+    """Print the primary JSON line exactly once (normal path or watchdog)."""
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    baseline_mpps = 10.0  # arkworks CPU multicore Pippenger, order of magnitude
+    rec = {
+        "metric": "msm_g1_throughput",
+        "value": round(mpps, 4),
+        "unit": "Mpoints/s",
+        "vs_baseline": round(mpps / baseline_mpps, 4),
+    }
+    rec.update({k: round(v, 4) for k, v in METRICS.items()})
+    print(json.dumps(rec))
+    sys.stdout.flush()
+
+
 def main():
     import jax
 
@@ -62,7 +87,8 @@ def main():
     t0 = time.time()
     d = jax.device_put(probe)
     _ = np.asarray(d[0:1])
-    log(f"link probe: {4 / (time.time() - t0):.1f} MB/s "
+    METRICS["link_mb_s"] = 4 / (time.time() - t0)
+    log(f"link probe: {METRICS['link_mb_s']:.1f} MB/s "
         "(4 MB u32 upload + sync)")
 
     # --- secondary: mont_mul and MiMC throughput -------------------------
@@ -87,16 +113,32 @@ def main():
     t0 = time.time()
     _ = np.asarray(chain(m, m, 50))
     mulps = 50 * n / (time.time() - t0)
+    METRICS["mont_mul_mmul_s"] = mulps / 1e6
     log(f"mont_mul: {mulps / 1e6:.1f} Mmul/s")
 
     from zelana_tpu.hashes.mimc_jax import hash2_batch
 
+    # chain 4 dependent hash batches per sync and download only a 2-column
+    # slice: rounds 1-3 timed ONE batch with a full (16, 65536) = 4 MB
+    # result download inside the clock -- at the round-3 link rate that is
+    # ~270 ms of pure download, and the "mimc regression" (0.24 -> 0.19)
+    # was the LINK, not the kernel. This measures the hash kernel.
     hn = 1 << 16
     ha = jnp.asarray(rng.integers(0, 1 << 16, size=(16, hn), dtype=np.uint32))
-    _ = np.asarray(hash2_batch(ha, ha))
+
+    @jax.jit
+    def hash_chain(a, b):
+        x = a
+        for _ in range(4):
+            x = hash2_batch(x, b)
+        return x[:, :2]
+
+    _ = np.asarray(hash_chain(ha, ha))
     t0 = time.time()
-    _ = np.asarray(hash2_batch(ha, ha))
-    log(f"mimc_hash2: {hn / (time.time() - t0) / 1e6:.2f} Mhash/s")
+    _ = np.asarray(hash_chain(ha, ha))
+    METRICS["mimc_mhash_s"] = 4 * hn / (time.time() - t0) / 1e6
+    log(f"mimc_hash2: {METRICS['mimc_mhash_s']:.2f} Mhash/s "
+        "(4 chained batches, one sync)")
 
     # NTT roundtrip at 2^16 (the witness-map building block)
     from zelana_tpu.ops import ntt as NTT
@@ -115,6 +157,7 @@ def main():
         x = NTT.intt(NTT.ntt(x, plan), plan)
     _ = np.asarray(x[:, :2])
     dt_ntt = (time.time() - t0) / 8
+    METRICS["ntt_ms"] = dt_ntt * 1e3
     log(f"ntt 2^16: {dt_ntt * 1e3:.1f} ms/transform (8 chained, one sync)")
 
     # --- primary: G1 MSM (run-scan engine, ops/msm_scan.py) ---------------
@@ -183,6 +226,40 @@ def main():
     log(f"device mul-bound SoL: {sol * 1e3:.0f} ms/msm "
         f"-> achieved {sol / dt * 100:.0f}% of mul-bound "
         f"(rest: host->device link + fixed costs)")
+    # device-only MSM: the schedule and point pool are STAGED ON DEVICE
+    # before the clock starts, so the measurement is the scan + merge +
+    # subset tree alone -- the number real (non-relay) hardware would see,
+    # where DMA makes the upload term negligible (VERDICT r03 ask #3a).
+    # 8 dispatches queue before the single sync to amortize the ~120 ms
+    # relay round trip.
+    try:
+        from zelana_tpu.ops.msm_scan import (
+            LANES, _dense16, _device_msm, _pack_sched, _subset_idx,
+            build_schedule, scalar_digits,
+        )
+
+        s = build_schedule(scalar_digits(scalars), lanes=LANES)
+        sched_dev = jnp.asarray(_pack_sched(s))
+        pool_dev = prepared[0]
+        args = dict(curve="g1", R=s.R, lanes=s.perm.shape[1], K=s.K,
+                    has_bits=s.flag_bits is not None, R2=s.R2,
+                    lanes2=s.lanes2, has_l2=s.pos2 is not None,
+                    dense16=_dense16(s))
+        g = _device_msm(pool_dev, sched_dev, _subset_idx(), **args)
+        _ = np.asarray(g)  # warm + stage
+        reps = 8
+        t0 = time.time()
+        for _ in range(reps):
+            g = _device_msm(pool_dev, sched_dev, _subset_idx(), **args)
+        _ = np.asarray(g)
+        dev_dt = (time.time() - t0) / reps
+        METRICS["msm_device_mpps"] = msm_n / dev_dt / 1e6
+        log(f"msm_g1 2^16 DEVICE-ONLY (staged schedule, x{reps}): "
+            f"{dev_dt * 1e3:.0f} ms/msm -> "
+            f"{METRICS['msm_device_mpps']:.4f} Mpoints/s")
+    except Exception as exc:
+        log(f"device-only MSM leg skipped: {exc}")
+
     # upload-bound accounting: the MSM is link-bound on this relay; show
     # the per-MSM schedule bytes against the link probe so the recorded
     # throughput carries its own ceiling context (the link rate swings
@@ -202,28 +279,18 @@ def main():
     except Exception as exc:
         log(f"upload-bound accounting skipped: {exc}")
 
-    baseline_mpps = 10.0  # arkworks CPU multicore Pippenger, order of magnitude
-    print(
-        json.dumps(
-            {
-                "metric": "msm_g1_throughput",
-                "value": round(mpps, 4),
-                "unit": "Mpoints/s",
-                "vs_baseline": round(mpps / baseline_mpps, 4),
-            }
-        )
-    )
-    sys.stdout.flush()
-
-    # primary metric is on stdout; from here on a watchdog guarantees a
-    # CLEAN exit inside the budget even if a remote compile stalls (the
-    # driver's own timeout would record rc=124 and void the run)
+    # MSM metric is in hand; from here on a watchdog guarantees the JSON
+    # line is printed and the process exits CLEANLY inside the budget even
+    # if a later leg or remote compile stalls (the driver's own timeout
+    # would record rc=124 and void the run). The prove leg runs BEFORE the
+    # emit so proofs_per_s lands in the parsed record.
     import threading
 
     def _watchdog():
         time.sleep(max(budget_left() - 15, 1))
         log(f"bench watchdog: {BUDGET_S:.0f}s budget expired mid-leg; "
-            "exiting cleanly (primary metric already recorded)")
+            "emitting primary JSON and exiting cleanly")
+        emit_json(mpps)
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(0)
@@ -239,6 +306,7 @@ def main():
     if budget_left() < 240:
         log(f"prove bench skipped: {budget_left():.0f}s left of "
             f"{BUDGET_S:.0f}s budget")
+        emit_json(mpps)
         return
     try:
         from zelana_tpu.circuits.l2_block import L2BlockCircuit
@@ -287,14 +355,19 @@ def main():
         log(f"prove warm+compile done, {budget_left():.0f}s budget left")
         t0 = time.time()
         reps = 0
-        while reps < 3 and budget_left() > 60:
+        # a warm rep is ~1.5 s; always take at least one (the relay's
+        # per-process recompiles can eat the whole budget before this leg
+        # -- round-4 recorded a 0-rep division artifact without the floor)
+        while reps < 3 and (reps == 0 or budget_left() > 30):
             proof = g16_prove(pk, circuit, batch_id=2 + reps)
             reps += 1
-        dt = (time.time() - t0) / max(reps, 1)
+        dt = (time.time() - t0) / reps
+        METRICS["proofs_per_s"] = 1 / dt
         log(f"groth16 prove (L2 dummy): {dt*1e3:.0f} ms/proof "
             f"-> {1/dt:.2f} proofs/s ({reps} reps, verified)")
     except Exception as exc:  # keep the primary metric alive regardless
         log(f"prove bench skipped: {exc}")
+    emit_json(mpps)
 
 
 

@@ -7,3 +7,8 @@ export {
   withdrawSigningMessage,
 } from "./zelana";
 export * from "./types";
+export * from "./utils";
+export * from "./shielded";
+export * from "./encryption";
+export * from "./keypair";
+export * from "./prover";

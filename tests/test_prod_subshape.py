@@ -1,0 +1,74 @@
+"""Nightly production-shape guard (VERDICT r03 weak #6): prove_synthesized
+end to end on a >100k-constraint chunk system.
+
+The full production shape (8/4/4 depth-32, 1.13M constraints) is hours on
+the CPU backend and runs only in hand TPU sessions (CHUNK_BENCH.json); this
+8/4/4 DEPTH-2 sub-shape (164k constraints, same circuit family, same
+native-synthesis + sharded-capable prove path) is the automated check that
+the production path keeps working between those sessions. Gated for the
+nightly CI schedule (ZELANA_NIGHTLY_PROD=1); keygen caches in
+~/.cache/zelana_tpu_keys and is restored by actions/cache.
+
+Reference analogue: the coordinator/worker chunk prove,
+forge/crates/prover-coordinator/src/dispatcher.rs:34-62 with the worker's
+300 s nargo+sunspot budget (core/src/sequencer/settlement/noir_client.rs:60).
+"""
+
+import os
+import time
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ZELANA_NIGHTLY_PROD") != "1",
+    reason="164k-constraint keygen+prove; nightly CI / explicit opt-in "
+    "(ZELANA_NIGHTLY_PROD=1)",
+)
+
+CAP, DEPTH = (8, 4, 4), 2
+KEY_CACHE = os.path.expanduser(
+    os.environ.get("ZELANA_SUBSHAPE_KEY",
+                   "~/.cache/zelana_tpu_keys/chunk_8_4_4_d2.npz"))
+
+
+def _prover():
+    from zelana_tpu.groth16.keys import ProvingKey
+    from zelana_tpu.runtime.chunk_prover import Groth16ChunkProver
+
+    if os.path.exists(KEY_CACHE):
+        return Groth16ChunkProver(ProvingKey.load_npz(KEY_CACHE), CAP, DEPTH)
+    t0 = time.time()
+    prover = Groth16ChunkProver.setup(CAP, DEPTH, seed=0)
+    print(f"keygen (8/4/4 d2): {time.time() - t0:.0f}s")
+    os.makedirs(os.path.dirname(KEY_CACHE), exist_ok=True)
+    prover.pk.save_npz(KEY_CACHE)
+    return prover
+
+
+def test_production_subshape_prove_and_verify():
+    from zelana_tpu.r1cs.native_synth import synthesize_chunk
+    from zelana_tpu.runtime.chunk_witness import ChunkWitnessBuilder
+    from zelana_tpu.runtime.coordinator import Dispatcher
+
+    prover = _prover()
+
+    builder = ChunkWitnessBuilder(DEPTH)
+    builder.fund(1, 1_000)
+    builder.fund(2, 0)
+    note = builder.add_note(spending_key=777, value=9, blinding=42)
+    chunks = Dispatcher.build_chunks_with_witness(
+        builder,
+        [(1, 2, 10), (1, 2, 5)],          # two transfers
+        [(0xBEEF, 50, 1)],                # one withdrawal
+        [("full", note, 777, 0xFACE, 9, 7)],  # full-verification shielded
+        capacity=CAP, pre_shielded_root=builder.shielded_root())
+    circuit = prover.build_circuit(chunks[0], batch_id=9)
+    system = synthesize_chunk(circuit)
+    assert system is not None and system.num_constraints > 100_000
+
+    t0 = time.time()
+    cp = prover.prove_chunk(chunks[0], batch_id=9)
+    prove_s = time.time() - t0
+    print(f"prove (164k constraints): {prove_s:.0f}s")
+    assert prover.verify_chunk(cp)
+    assert len(cp.proof_bytes) == 388  # sunspot shape

@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--json", default=None,
                         help="write phase timings as JSON (the committed "
                              "CHUNK_BENCH.json evidence)")
+    parser.add_argument("--reps", type=int, default=1,
+                        help="warm prove repetitions after the cold one")
     args = parser.parse_args()
     cap = tuple(int(x) for x in args.capacity.split("/"))
     report = {"capacity": args.capacity, "depth": args.depth}
@@ -101,10 +103,24 @@ def main():
     t0 = time.time()
     cp = prover.prove_chunk(chunks[0], batch_id=7)
     dt = time.time() - t0
-    report["prove_s"] = round(dt, 2)
+    report["prove_cold_s"] = report["prove_s"] = round(dt, 2)
     report["prove_reported_ms"] = cp.proving_time_ms
-    print(f"prove (full {cap[0]}/{cap[1]}/{cap[2]} chunk): {dt:.1f}s "
+    print(f"prove COLD (full {cap[0]}/{cap[1]}/{cap[2]} chunk): {dt:.1f}s "
           f"({cp.proving_time_ms} ms reported)", file=sys.stderr)
+
+    # WARM rep(s): same process, same quantized program shapes, pools
+    # device-resident -- the prover's steady state (the reference budgets
+    # 300 s/chunk, noir_client.rs:60; this is the number to beat)
+    warm = []
+    for rep in range(args.reps):
+        t0 = time.time()
+        cp = prover.prove_chunk(chunks[0], batch_id=8 + rep)
+        warm.append(round(time.time() - t0, 2))
+        print(f"prove WARM rep {rep}: {warm[-1]:.1f}s", file=sys.stderr)
+    if warm:
+        report["prove_warm_s"] = min(warm)
+        report["prove_warm_all_s"] = warm
+        report["beats_reference_300s_budget"] = bool(min(warm) < 300)
 
     t0 = time.time()
     ok = prover.verify_chunk(cp)

