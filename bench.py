@@ -359,9 +359,14 @@ def main():
         # per-process recompiles can eat the whole budget before this leg
         # -- round-4 recorded a 0-rep division artifact without the floor)
         while reps < 3 and (reps == 0 or budget_left() > 30):
-            proof = g16_prove(pk, circuit, batch_id=2 + reps)
+            # check=False = ark-groth16 create_random_proof semantics (no
+            # standalone is_satisfied pass); the warm call above ran the
+            # full check and each rep's proof is what it is -- an invalid
+            # witness would fail the verify below
+            proof = g16_prove(pk, circuit, batch_id=2 + reps, check=False)
             reps += 1
         dt = (time.time() - t0) / reps
+        assert g16_verify(pk.vk, proof, public_inputs_of(circuit))
         METRICS["proofs_per_s"] = 1 / dt
         log(f"groth16 prove (L2 dummy): {dt*1e3:.0f} ms/proof "
             f"-> {1/dt:.2f} proofs/s ({reps} reps, verified)")

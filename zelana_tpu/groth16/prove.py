@@ -136,7 +136,12 @@ def _msm_begin(q, key, scalars, curve, digits=None):
     return MSM.msm_begin(q[key], scalars, curve, digits=digits)
 
 
-def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
+def prove(pk: ProvingKey, circuit, batch_id: int = 0,
+          check: bool = True) -> Proof:
+    """check=False skips the standalone satisfaction pre-pass -- the
+    ark-groth16 semantics (create_random_proof does not run is_satisfied;
+    an unsatisfied witness simply yields a proof that fails verification).
+    The default keeps the pre-pass for the clearer error."""
     import time as _time
 
     from ..r1cs.system import ConstraintSystem
@@ -145,10 +150,11 @@ def prove(pk: ProvingKey, circuit, batch_id: int = 0) -> Proof:
     cs = ConstraintSystem()
     circuit.generate_constraints(cs)
     _trace("constraints synthesized (Python DSL)", _t0)
-    bad = cs.is_satisfied()
-    if bad is not None:
-        raise ValueError(f"constraint {bad} unsatisfied; witness invalid")
-    _trace("satisfaction checked", _t0)
+    if check:
+        bad = cs.is_satisfied()
+        if bad is not None:
+            raise ValueError(f"constraint {bad} unsatisfied; witness invalid")
+        _trace("satisfaction checked", _t0)
     A, B, C = cs.matrices()
     z = cs.full_assignment()
     num_instance = cs.num_instance

@@ -39,13 +39,13 @@ class PoseidonSpongeVar:
                 state = [s.pow5() for s in state]
             else:
                 state[0] = state[0].pow5()
-            new_state = []
-            for i in range(cfg.width):
-                acc = self.cs.constant(0)
-                for j in range(cfg.width):
-                    acc = acc + state[j].scale(cfg.mds[i][j])
-                new_state.append(acc)
-            state = new_state
+            state = [
+                FpVar.combine(
+                    self.cs,
+                    [(state[j], cfg.mds[i][j]) for j in range(cfg.width)],
+                )
+                for i in range(cfg.width)
+            ]
         self.state = state
 
     # -- duplex -------------------------------------------------------------

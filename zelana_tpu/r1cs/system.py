@@ -150,7 +150,47 @@ class FpVar:
         return FpVar(self.cs, lc, self.value * k % FR)
 
     def add_constant(self, k: int) -> "FpVar":
-        return self + self.cs.constant(k)
+        if self.is_constant:
+            return FpVar(self.cs, None, (self.value + k) % FR)
+        lc = dict(self.lc)
+        key = ("i", 0)
+        c = (lc.get(key, 0) + k) % FR
+        if c:
+            lc[key] = c
+        else:
+            lc.pop(key, None)
+        return FpVar(self.cs, lc, (self.value + k) % FR)
+
+    @staticmethod
+    def combine(cs: "ConstraintSystem", terms) -> "FpVar":
+        """Sigma k_j * var_j in ONE dict pass.
+
+        The Poseidon gadget's MDS rows dominated synthesis time when built
+        as scale() + __add__() chains (each a full-dict rebuild; partial-
+        round LCs grow every round). Identical semantics, one merge."""
+        out: dict = {}
+        val = 0
+        all_const = True
+        for var, k in terms:
+            k %= FR
+            if k == 0:
+                continue
+            val += var.value * k
+            if var.lc is None:
+                if var.value % FR:
+                    key = ("i", 0)
+                    out[key] = (out.get(key, 0) + var.value * k) % FR
+            else:
+                all_const = False
+                for key, v in var.lc.items():
+                    out[key] = (out.get(key, 0) + v * k) % FR
+        if all_const:
+            # constants stay constants (lc=None) -- s-boxes on constant
+            # state cost zero constraints, exactly as scale()+__add__()
+            # chains behaved; the circuit SHAPE must not change
+            return FpVar(cs, None, val % FR)
+        out = {k2: v2 for k2, v2 in out.items() if v2}
+        return FpVar(cs, out, val % FR)
 
     # -- nonlinear ops (allocate + constrain) -------------------------------
 
