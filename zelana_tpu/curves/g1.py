@@ -55,24 +55,66 @@ def double(pt):
     return add(pt, pt)
 
 
+def _jac_double(X, Y, Z):
+    if Z == 0 or Y == 0:
+        return (0, 1, 0)
+    A = X * X % P
+    B = Y * Y % P
+    C = B * B % P
+    D = 2 * ((X + B) * (X + B) - A - C) % P
+    E = 3 * A % P
+    X3 = (E * E - 2 * D) % P
+    return (X3, (E * (D - X3) - 8 * C) % P, 2 * Y * Z % P)
+
+
+def _jac_add_affine(X, Y, Z, x2, y2):
+    """Mixed Jacobian + affine addition."""
+    if Z == 0:
+        return (x2, y2, 1)
+    Z2 = Z * Z % P
+    U2 = x2 * Z2 % P
+    S2 = y2 * Z * Z2 % P
+    if U2 == X:
+        if S2 == Y:
+            return _jac_double(X, Y, Z)
+        return (0, 1, 0)
+    H = (U2 - X) % P
+    HH = H * H % P
+    I = 4 * HH % P
+    J = H * I % P
+    r2 = 2 * (S2 - Y) % P
+    V = X * I % P
+    X3 = (r2 * r2 - J - 2 * V) % P
+    Y3 = (r2 * (V - X3) - 2 * Y * J) % P
+    Z3 = ((Z + H) * (Z + H) - Z2 - HH) % P
+    return (X3, Y3, Z3)
+
+
 def mul(pt, k: int):
     """Scalar multiplication by the INTEGER k (negative k negates the
     point). Not reduced mod r: subgroup checks multiply by candidate
     orders, and G1 being prime-order makes the reduction redundant for
-    legitimate scalars anyway."""
+    legitimate scalars anyway.
+
+    Jacobian MSB-first ladder with mixed adds and ONE final inversion:
+    the previous affine ladder paid an inv_mod per point operation
+    (~380 per scalar) and dominated host-side proof assembly."""
     if pt is None or k == 0:
         return None
     if k < 0:
         pt = neg(pt)
         k = -k
-    result = None
-    base = pt
-    while k > 0:
-        if k & 1:
-            result = add(result, base)
-        base = add(base, base)
-        k >>= 1
-    return result
+    x0, y0 = pt
+    X, Y, Z = 0, 1, 0
+    for bit in bin(k)[2:]:
+        X, Y, Z = _jac_double(X, Y, Z)
+        if bit == "1":
+            X, Y, Z = _jac_add_affine(X, Y, Z, x0, y0)
+    if Z == 0:
+        return None
+    zi = inv_mod(Z, P)
+    zi2 = zi * zi % P
+    return (X * zi2 % P, Y * zi2 * zi % P)
 
 
 def msm(points, scalars):

@@ -62,25 +62,68 @@ def add(p1, p2):
     return (x3, y3)
 
 
+def _jac_double(X, Y, Z):
+    if fq2_is_zero(Z) or fq2_is_zero(Y):
+        return (FQ2_ZERO, (1, 0), FQ2_ZERO)
+    A = fq2_sqr(X)
+    B = fq2_sqr(Y)
+    C = fq2_sqr(B)
+    D = fq2_scale(fq2_sub(fq2_sub(fq2_sqr(fq2_add(X, B)), A), C), 2)
+    E = fq2_scale(A, 3)
+    X3 = fq2_sub(fq2_sqr(E), fq2_scale(D, 2))
+    Y3 = fq2_sub(fq2_mul(E, fq2_sub(D, X3)), fq2_scale(C, 8))
+    Z3 = fq2_scale(fq2_mul(Y, Z), 2)
+    return (X3, Y3, Z3)
+
+
+def _jac_add_affine(X, Y, Z, x2, y2):
+    """Mixed Jacobian + affine addition over Fq2."""
+    if fq2_is_zero(Z):
+        return (x2, y2, (1, 0))
+    Z2 = fq2_sqr(Z)
+    U2 = fq2_mul(x2, Z2)
+    S2 = fq2_mul(fq2_mul(y2, Z), Z2)
+    if U2 == X:
+        if S2 == Y:
+            return _jac_double(X, Y, Z)
+        return (FQ2_ZERO, (1, 0), FQ2_ZERO)
+    H = fq2_sub(U2, X)
+    HH = fq2_sqr(H)
+    I = fq2_scale(HH, 4)
+    J = fq2_mul(H, I)
+    r2 = fq2_scale(fq2_sub(S2, Y), 2)
+    V = fq2_mul(X, I)
+    X3 = fq2_sub(fq2_sub(fq2_sqr(r2), J), fq2_scale(V, 2))
+    Y3 = fq2_sub(fq2_mul(r2, fq2_sub(V, X3)), fq2_scale(fq2_mul(Y, J), 2))
+    Z3 = fq2_sub(fq2_sub(fq2_sqr(fq2_add(Z, H)), Z2), HH)
+    return (X3, Y3, Z3)
+
+
 def mul(pt, k: int):
     """Scalar multiplication by the INTEGER k -- deliberately not reduced
     mod r: G2 has a large cofactor, so callers multiply by values (the
     cofactor, candidate orders) that are only meaningful unreduced.
     Reducing here silently made `in_subgroup` a tautology (r * pt -> 0 * pt)
-    and broke cofactor clearing."""
+    and broke cofactor clearing.
+
+    Jacobian MSB-first ladder with mixed adds and ONE final Fq2
+    inversion (the affine ladder paid an fq2_inv per point operation)."""
     if pt is None or k == 0:
         return None
     if k < 0:
         pt = neg(pt)
         k = -k
-    result = None
-    base = pt
-    while k > 0:
-        if k & 1:
-            result = add(result, base)
-        base = add(base, base)
-        k >>= 1
-    return result
+    x0, y0 = pt
+    X, Y, Z = FQ2_ZERO, (1, 0), FQ2_ZERO
+    for bit in bin(k)[2:]:
+        X, Y, Z = _jac_double(X, Y, Z)
+        if bit == "1":
+            X, Y, Z = _jac_add_affine(X, Y, Z, x0, y0)
+    if fq2_is_zero(Z):
+        return None
+    zi = fq2_inv(Z)
+    zi2 = fq2_sqr(zi)
+    return (fq2_mul(X, zi2), fq2_mul(fq2_mul(Y, zi2), zi))
 
 
 def msm(points, scalars):
