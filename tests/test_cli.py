@@ -51,3 +51,21 @@ def test_cli_airdrop_against_dev_stack():
     finally:
         server.shutdown()
         service.stop()
+
+
+def test_cli_genkey_command(tmp_path, capsys):
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "id.json")
+    assert main(["genkey", path]) == 0
+    doc = _json.load(open(path))
+    assert len(bytes.fromhex(doc["pubkey"])) == 32
+    assert len(bytes.fromhex(doc["privacy_pk"])) == 32
+    assert oct(_os.stat(path).st_mode)[-3:] == "600"
+    # the written parts reconstruct a working signer
+    from zelana_tpu.sdk.keypair import ZelanaKeypair
+
+    kp = ZelanaKeypair(bytes.fromhex(doc["signing_seed"]),
+                       bytes.fromhex(doc["privacy_sk"]))
+    assert kp.pubkey.hex() == doc["pubkey"]

@@ -4,6 +4,7 @@
     python -m zelana_tpu.cli test        # self-contained e2e (--zk for CPI)
     python -m zelana_tpu.cli deploy      # bridge PDAs + chunked VK store
     python -m zelana_tpu.cli airdrop     # dev faucet vs a running sequencer
+    python -m zelana_tpu.cli genkey      # dual-key wallet file
     python -m zelana_tpu.cli keygen      # Groth16 circuit-specific setup
     python -m zelana_tpu.cli prove       # prove a demo batch end to end
     python -m zelana_tpu.cli verify      # verify a proof file
@@ -453,6 +454,29 @@ def cmd_airdrop(args):
     return 1
 
 
+def cmd_genkey(args):
+    """Generate a dual-key wallet file (cli `zelana genkey`,
+    cli/src/main.rs:58-64: writes the keypair to id.json, mode 0600)."""
+    import os
+
+    from .sdk.keypair import ZelanaKeypair
+
+    kp = ZelanaKeypair.generate()
+    doc = {
+        "signing_seed": kp.signing_seed.hex(),
+        "privacy_sk": kp.privacy_sk.hex(),
+        "pubkey": kp.pubkey.hex(),
+        "privacy_pk": kp.privacy_pk.hex(),
+    }
+    path = args.filename
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    with os.fdopen(fd, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(f"keypair -> {path}\npubkey: {doc['pubkey']}\n"
+          f"privacy pk: {doc['privacy_pk']}")
+    return 0
+
+
 def cmd_explorer(args):
     """Live store explorer (debug/web parity)."""
     from .sequencer.store import Store
@@ -535,6 +559,10 @@ def main(argv=None):
     p.add_argument("--l1-seq", type=int, default=0)
     p.add_argument("--url", default="http://127.0.0.1:8899")
     p.set_defaults(fn=cmd_airdrop)
+
+    p = sub.add_parser("genkey", help="generate a dual-key wallet file")
+    p.add_argument("filename", nargs="?", default="id.json")
+    p.set_defaults(fn=cmd_genkey)
 
     p = sub.add_parser("explorer", help="live store web explorer")
     p.add_argument("db_path")
