@@ -129,6 +129,7 @@ def test_witness_map_native_matches_python():
     """The native witness-map dispatch (C matvec + Montgomery-form device
     chain) must produce the same h(x) coefficients as the Python path."""
     from zelana_tpu.groth16.prove import (
+        _unpack_h,
         witness_map_device,
         witness_map_dispatch_native,
     )
@@ -148,7 +149,7 @@ def test_witness_map_native_matches_python():
     A, B, C, z, ni = _python_system(circuit)
     want = witness_map_device(A, B, C, z, ni)
     h_dev, m = witness_map_dispatch_native(system)
-    got = fr_ints(from_mont_limbs16(np.asarray(h_dev))[: m - 1])
+    got = fr_ints(from_mont_limbs16(_unpack_h(np.asarray(h_dev)))[: m - 1])
     assert got == want
 
 

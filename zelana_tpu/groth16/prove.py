@@ -240,7 +240,20 @@ def witness_map_dispatch_native(system):
                                  num.shape[1:])
     h_evals = L.mont_mul(num, z_inv_m, L.FR)
     h_coeffs = NTT.coset_intt(h_evals, plan)
-    return h_coeffs, domain.size
+    # pack limb pairs into u32 words for the download: the h-coefficient
+    # fetch is the production prove's one mid-flight transfer (128 MB at
+    # the 2^21 domain as 16 sparse u32 rows); two 16-bit limbs per word
+    # halves it. Transport encoding only -- unpacked host-side.
+    h_packed = (h_coeffs[0::2] & 0xFFFF) | ((h_coeffs[1::2] & 0xFFFF) << 16)
+    return h_packed, domain.size
+
+
+def _unpack_h(h_pk: np.ndarray) -> np.ndarray:
+    """(8, n) u32 packed download -> (16, n) u32 16-bit limb planes."""
+    out = np.empty((16, h_pk.shape[1]), np.uint32)
+    out[0::2] = h_pk & np.uint32(0xFFFF)
+    out[1::2] = h_pk >> np.uint32(16)
+    return out
 
 
 def _trace(label, t0):
@@ -297,7 +310,7 @@ def prove_synthesized(pk: ProvingKey, system, batch_id: int = 0,
     _trace("l query MSM in flight", _t0)
     from ..r1cs.native_synth import fr_ints, from_mont_limbs16
 
-    h_u64 = from_mont_limbs16(np.asarray(h_dev))[: m - 1]
+    h_u64 = from_mont_limbs16(_unpack_h(np.asarray(h_dev)))[: m - 1]
     _trace("h coefficients downloaded", _t0)
     digits_h = MSM.scalar_digits(h_u64)
     h_ints = fr_ints(h_u64) if q["mesh"] is not None else None
