@@ -59,7 +59,7 @@ def test_production_subshape_prove_and_verify():
     chunks = Dispatcher.build_chunks_with_witness(
         builder,
         [(1, 2, 10), (1, 2, 5)],          # two transfers
-        [(0xBEEF, 50, 1)],                # one withdrawal
+        [(1, 0xBEEF, 50)],                # one withdrawal (sender, l1, amt)
         [("full", note, 777, 0xFACE, 9, 7)],  # full-verification shielded
         capacity=CAP, pre_shielded_root=builder.shielded_root())
     circuit = prover.build_circuit(chunks[0], batch_id=9)
