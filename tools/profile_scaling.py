@@ -5,8 +5,8 @@
         python tools/profile_scaling.py [--n 18] [--devices 1,2,4,8]
 
 Measures the production point-sharded run-scan MSM (parallel/sharded.py
-msm_begin_sharded: per-shard bucket scan + XOR-butterfly ppermute
-reduction) at 2^n points across mesh sizes. CPU-mesh numbers are
+msm_begin_sharded: per-shard bucket scan + reduce-scatter/all-gather
+ppermute allreduce) at 2^n points across mesh sizes. CPU-mesh numbers are
 DIRECTIONAL (all "devices" share one host's cores, so ideal scaling is
 flat wall time, not linear speedup; on real chips each device is its own
 compute) — the point is that the sharded program runs, shards evenly,

@@ -10,9 +10,10 @@ This module is the host-plane glue. It cannot be exercised on this
 single-host environment (the driver validates the mesh program on a
 virtual device mesh instead — `__graft_entry__.dryrun_multichip`), but the
 compute path it feeds is the SAME `parallel.sharded` program: per-host
-point shards, run-scan bucket accumulation per device, XOR-butterfly
-ppermute reduction (intra-slice hops first = ICI, the final log2(n_hosts)
-rounds = DCN, exactly one dense bucket array per hop).
+point shards, run-scan bucket accumulation per device, recursive-halving
+reduce-scatter + all-gather allreduce (intra-slice hops first = ICI with
+the LARGEST halves, the final log2(n_hosts) hops cross DCN carrying the
+smallest — the bandwidth hierarchy and the halving series line up).
 
 2^24-point plan (per BASELINE config 5), with D devices over H hosts:
 - each host OWNS only its N/H point slice: `prepare_g1_sharded` is called
@@ -59,9 +60,9 @@ def init_distributed(coordinator_address: str | None = None,
 
 def global_mesh(axis: str = "dp") -> Mesh:
     """One mesh over every device of every process. With the default
-    device order, consecutive devices are intra-host -> the XOR-butterfly
-    reduction's low-order hops stay on ICI and only the top log2(hosts)
-    hops cross DCN."""
+    device order, consecutive devices are intra-host; the reduce-scatter
+    runs its early (largest) hops on ICI and only the final log2(hosts)
+    (smallest) hops cross DCN."""
     return Mesh(np.array(jax.devices()), (axis,))
 
 
