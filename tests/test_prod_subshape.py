@@ -9,6 +9,10 @@ the production path keeps working between those sessions. Gated for the
 nightly CI schedule (ZELANA_NIGHTLY_PROD=1); keygen caches in
 ~/.cache/zelana_tpu_keys and is restored by actions/cache.
 
+Validated end to end on the CPU backend (round 4): keygen 1897 s cold,
+prove 869 s with the cached key, verified — both inside the workflow's
+120-minute step budget.
+
 Reference analogue: the coordinator/worker chunk prove,
 forge/crates/prover-coordinator/src/dispatcher.rs:34-62 with the worker's
 300 s nargo+sunspot budget (core/src/sequencer/settlement/noir_client.rs:60).
