@@ -40,25 +40,31 @@ def log(*args):
 # JSON line (round 3 recorded only msm_g1_throughput -- mimc/ntt/prove
 # regressions were invisible to the driver history, VERDICT r03 weak #7).
 METRICS = {}
+_EMIT_LOCK = __import__("threading").Lock()
 _PRINTED = False
 
 
 def emit_json(mpps: float) -> None:
-    """Print the primary JSON line exactly once (normal path or watchdog)."""
+    """Print the primary JSON line exactly once (normal path or watchdog).
+
+    The watchdog thread can fire at budget expiry while the main thread is
+    emitting; the test-and-set runs under a lock so the driver contract of
+    exactly one JSON line on stdout holds in the race too."""
     global _PRINTED
-    if _PRINTED:
-        return
-    _PRINTED = True
-    baseline_mpps = 10.0  # arkworks CPU multicore Pippenger, order of magnitude
-    rec = {
-        "metric": "msm_g1_throughput",
-        "value": round(mpps, 4),
-        "unit": "Mpoints/s",
-        "vs_baseline": round(mpps / baseline_mpps, 4),
-    }
-    rec.update({k: round(v, 4) for k, v in METRICS.items()})
-    print(json.dumps(rec))
-    sys.stdout.flush()
+    with _EMIT_LOCK:
+        if _PRINTED:
+            return
+        _PRINTED = True
+        baseline_mpps = 10.0  # arkworks CPU multicore Pippenger, order of magnitude
+        rec = {
+            "metric": "msm_g1_throughput",
+            "value": round(mpps, 4),
+            "unit": "Mpoints/s",
+            "vs_baseline": round(mpps / baseline_mpps, 4),
+        }
+        rec.update({k: round(v, 4) for k, v in METRICS.items()})
+        print(json.dumps(rec))
+        sys.stdout.flush()
 
 
 def main():
@@ -140,7 +146,39 @@ def main():
     log(f"mimc_hash2: {METRICS['mimc_mhash_s']:.2f} Mhash/s "
         "(4 chained batches, one sync)")
 
-    # NTT roundtrip at 2^16 (the witness-map building block)
+    # Poseidon 8/56 (BN254) batch hashing -- the L2 circuit's own hash
+    # (BASELINE config 3); 2-element sponge hash = one permutation each.
+    # Chained like the MiMC leg so the clock holds kernel time, not the
+    # result download.
+    try:
+        from zelana_tpu.hashes.poseidon import bn254_config
+        from zelana_tpu.hashes.poseidon_jax import poseidon_hash_batch
+
+        pcfg = bn254_config()
+        pb = 1 << 15
+        pa = jnp.asarray(
+            rng.integers(0, 1 << 16, size=(16, pb), dtype=np.uint32))
+
+        @jax.jit
+        def pos_chain(a, b):
+            x = a
+            for _ in range(2):
+                x = poseidon_hash_batch(pcfg, [x, b])
+            return x[:, :2]
+
+        _ = np.asarray(pos_chain(pa, pa))
+        t0 = time.time()
+        _ = np.asarray(pos_chain(pa, pa))
+        METRICS["poseidon_mhash_s"] = 2 * pb / (time.time() - t0) / 1e6
+        log(f"poseidon 8/56 hash2: {METRICS['poseidon_mhash_s']:.3f} "
+            "Mhash/s (2 chained batches, one sync)")
+    except Exception as exc:
+        log(f"poseidon leg skipped: {exc}")
+
+    # NTT at 2^16 (the witness-map building block). The measured unit is
+    # an intt(ntt(x)) ROUND TRIP = 2 transforms; both the per-round-trip
+    # and per-single-transform figures are recorded (VERDICT r04 weak #4
+    # flagged the old single `ntt_ms` label as ambiguous).
     from zelana_tpu.ops import ntt as NTT
 
     plan = NTT.make_plan(1 << 16)
@@ -148,17 +186,40 @@ def main():
         rng.integers(0, 1 << 16, size=(16, 1 << 16), dtype=np.uint32)
     )
     _ = np.asarray(NTT.intt(NTT.ntt(poly, plan), plan)[:, :2])
-    # chain 8 transforms before the single device->host sync: the relay
-    # round trip alone is ~26 ms, so a 2-transform measure would be
-    # latency, not transform time
+    # chain 4 round trips (8 transforms) before the single device->host
+    # sync: the relay round trip alone is ~26 ms, so a short measure would
+    # be latency, not transform time
     t0 = time.time()
     x = poly
     for _ in range(4):
         x = NTT.intt(NTT.ntt(x, plan), plan)
     _ = np.asarray(x[:, :2])
-    dt_ntt = (time.time() - t0) / 8
-    METRICS["ntt_ms"] = dt_ntt * 1e3
-    log(f"ntt 2^16: {dt_ntt * 1e3:.1f} ms/transform (8 chained, one sync)")
+    rt16 = (time.time() - t0) / 4
+    METRICS["ntt_roundtrip_ms"] = rt16 * 1e3
+    METRICS["ntt_ms"] = rt16 / 2 * 1e3  # one transform = half a round trip
+    log(f"ntt 2^16: {rt16 * 1e3:.1f} ms/roundtrip = "
+        f"{rt16 / 2 * 1e3:.1f} ms/transform (4 round trips, one sync)")
+
+    # NTT at 2^20 -- BASELINE config 2 spans 2^16-2^20; the 2^21 chain
+    # inside the production chunk was previously the only large-domain
+    # evidence (VERDICT r04 missing #3)
+    try:
+        plan20 = NTT.make_plan(1 << 20)
+        poly20 = jnp.asarray(
+            rng.integers(0, 1 << 16, size=(16, 1 << 20), dtype=np.uint32))
+        _ = np.asarray(NTT.intt(NTT.ntt(poly20, plan20), plan20)[:, :2])
+        t0 = time.time()
+        x = poly20
+        for _ in range(2):
+            x = NTT.intt(NTT.ntt(x, plan20), plan20)
+        _ = np.asarray(x[:, :2])
+        rt20 = (time.time() - t0) / 2
+        METRICS["ntt20_ms"] = rt20 / 2 * 1e3
+        log(f"ntt 2^20: {rt20 * 1e3:.1f} ms/roundtrip = "
+            f"{rt20 / 2 * 1e3:.1f} ms/transform (2 round trips, one sync)")
+        del poly20
+    except Exception as exc:
+        log(f"ntt 2^20 leg skipped: {exc}")
 
     # --- primary: G1 MSM (run-scan engine, ops/msm_scan.py) ---------------
     msm_n = 1 << 16

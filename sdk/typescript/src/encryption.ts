@@ -391,7 +391,19 @@ export function serializeTxBlob(blob: TxBlob): Uint8Array {
 }
 
 export function deserializeTxBlob(data: Uint8Array): TxBlob {
+  if (data.length < 45) {
+    throw new Error(
+      `tx blob too short: ${data.length} bytes (need >= 45: 32B ephemeral ` +
+        "pk + 12B nonce + 1B hint length)",
+    );
+  }
   const hintLen = data[44];
+  // ciphertext carries a 16-byte Poly1305 tag at minimum
+  if (data.length < 45 + hintLen + 16) {
+    throw new Error(
+      `tx blob truncated: ${data.length} bytes for hint length ${hintLen}`,
+    );
+  }
   return {
     ephemeralPk: data.slice(0, 32),
     nonce: data.slice(32, 44),

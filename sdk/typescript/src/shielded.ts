@@ -240,8 +240,11 @@ export function noteNullifier(
 }
 
 export function noteToJson(note: Note): string {
+  // value ships as a decimal string: JSON numbers are float64 in JS, so
+  // u64 lamport-scale values (>= 2^53) would silently round through
+  // Number() and break commitment recomputation against the Python SDK
   return JSON.stringify({
-    value: Number(note.value),
+    value: note.value.toString(),
     randomness: bytesToHex(note.randomness),
     owner_pk: bytesToHex(note.ownerPk),
   });
@@ -249,12 +252,22 @@ export function noteToJson(note: Note): string {
 
 export function noteFromJson(s: string): Note {
   const d = JSON.parse(s) as {
-    value: number;
+    value: number | string;
     randomness: string;
     owner_pk: string;
   };
+  let value: bigint;
+  if (typeof d.value === "string") {
+    value = BigInt(d.value);
+  } else {
+    // bare JSON number (the Python SDK emits full-precision integers):
+    // JSON.parse already rounded it to float64, so recover the raw
+    // digit token from the source text before converting
+    const m = /"value"\s*:\s*(\d+)/.exec(s);
+    value = m ? BigInt(m[1]) : BigInt(d.value);
+  }
   return {
-    value: BigInt(d.value),
+    value,
     randomness: hexToBytes(d.randomness),
     ownerPk: hexToBytes(d.owner_pk),
   };

@@ -113,6 +113,17 @@ check(
   utils.bytesToHex(shielded.noteCommitment(note)),
 );
 
+// u64 lamport-scale value (> 2^53): must survive the JSON codec exactly
+// (values ship as decimal strings; float64 would round here), including a
+// Python-style bare-integer payload
+const bigNote = shielded.createNote(18446744073709551557n, utils.randomBytes(32));
+const bigBack = shielded.noteFromJson(shielded.noteToJson(bigNote));
+check("note.json.u64value", bigBack.value, bigNote.value);
+const pyStyle = `{"value": 18446744073709551557, "randomness": "${utils.bytesToHex(
+  bigNote.randomness,
+)}", "owner_pk": "${utils.bytesToHex(bigNote.ownerPk)}"}`;
+check("note.json.u64value.bare", shielded.noteFromJson(pyStyle).value, bigNote.value);
+
 if (failures > 0) {
   console.error(`${failures} vector check(s) FAILED`);
   process.exit(1);

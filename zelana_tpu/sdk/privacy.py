@@ -61,7 +61,10 @@ class Note:
     @classmethod
     def from_json(cls, s: str) -> "Note":
         d = json.loads(s)
-        return cls(d["value"], bytes.fromhex(d["randomness"]),
+        # int() accepts both encodings: our own integer and the TS SDK's
+        # decimal string (JS must string-encode u64 values -- JSON numbers
+        # are float64 there and would round at 2^53)
+        return cls(int(d["value"]), bytes.fromhex(d["randomness"]),
                    bytes.fromhex(d["owner_pk"]))
 
 
