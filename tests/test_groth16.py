@@ -168,3 +168,19 @@ def test_l2_circuit_satisfiability():
     cs2 = ConstraintSystem()
     c2.generate_constraints(cs2)
     assert cs2.is_satisfied() is not None  # balance check must fail
+
+
+def test_prove_many_pipelined():
+    """prove_many overlaps next-proof synthesis under current device
+    work; results must match independent prove() calls' verification."""
+    from zelana_tpu.groth16.prove import prove_many
+
+    x = 5
+    out = x**3 + x + 5
+    pk = keygen(CubicCircuit(x, out), seed=0)
+    proofs = prove_many(
+        pk, [(CubicCircuit(x, out), 11), (CubicCircuit(x, out), 12),
+             (CubicCircuit(x, out), 13)])
+    assert all(verify(pk.vk, p, [out]) for p in proofs)
+    # distinct batch ids -> distinct r/s randomness -> distinct proofs
+    assert proofs[0].a != proofs[1].a

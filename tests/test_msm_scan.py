@@ -128,3 +128,48 @@ def test_schedule_shapes_and_layers():
         assert (pid2 < (s.R + 1) * lanes).all()
         # flush row: all flags set, identity position
         assert (np.asarray(s2.pos2[s2.R2]) == -(1 << 31)).all()
+
+
+def test_shared_segment_schedules_across_pools():
+    """One schedule set (built from z digits) must serve pools with
+    DIFFERENT infinity masks: identity slots are generator-backed and
+    corrected at msm_end (the Groth16 a/b1/l sharing, prove.py)."""
+    r = random.Random(21)
+    n = 40
+    base = _g1_points(n)
+    pool_a = list(base)
+    pool_b = list(base)
+    for i in (0, 3, 17, 39):
+        pool_a[i] = None
+    for i in (1, 3, 20):
+        pool_b[i] = None
+    scalars = [r.randrange(FR) for _ in range(n)]
+    digits = MS.scalar_digits(scalars)
+    segs = MS.build_segment_schedules(digits)
+    prep_a = MS.prepare_g1(pool_a)
+    prep_b = MS.prepare_g1(pool_b)
+    h_a = MS.msm_begin_scheds(prep_a, segs,
+                              MS._inf_correction(digits, prep_a[1]))
+    h_b = MS.msm_begin_scheds(prep_b, segs,
+                              MS._inf_correction(digits, prep_b[1]))
+    got_a, got_b = MS.msm_end_many([h_a, h_b])
+    assert got_a == G1.msm(pool_a, scalars)
+    assert got_b == G1.msm(pool_b, scalars)
+    # the device schedule buffers were uploaded once and reused
+    assert all(s["dev"] is not None for s in segs)
+
+
+def test_prefix_padded_pool_matches_suffix_msm():
+    """The l-query layout: identity prefix + real points, full-length
+    scalars; result must equal the suffix MSM."""
+    r = random.Random(22)
+    ni = 5
+    n = 32
+    pts = _g1_points(n - ni)
+    scalars = [r.randrange(FR) for _ in range(n)]
+    digits = MS.scalar_digits(scalars)
+    segs = MS.build_segment_schedules(digits)
+    prep = MS.prepare_g1([None] * ni + pts)
+    h = MS.msm_begin_scheds(prep, segs,
+                            MS._inf_correction(digits, prep[1]))
+    assert MS.msm_end(h) == G1.msm(pts, scalars[ni:])

@@ -110,17 +110,26 @@ def main():
 
     # WARM rep(s): same process, same quantized program shapes, pools
     # device-resident -- the prover's steady state (the reference budgets
-    # 300 s/chunk, noir_client.rs:60; this is the number to beat)
-    warm = []
+    # 300 s/chunk, noir_client.rs:60; this is the number to beat). The
+    # per-phase table of the BEST warm rep is embedded so the committed
+    # breakdown comes from the same run as the headline number.
+    from zelana_tpu.groth16 import prove as P
+
+    warm, phase_tables = [], []
     for rep in range(args.reps):
+        P.phase_log_start()
         t0 = time.time()
         cp = prover.prove_chunk(chunks[0], batch_id=8 + rep)
         warm.append(round(time.time() - t0, 2))
+        phase_tables.append([[dt, label]
+                             for _t, dt, label in P.phase_log_take()])
         print(f"prove WARM rep {rep}: {warm[-1]:.1f}s", file=sys.stderr)
     if warm:
         report["prove_warm_s"] = min(warm)
         report["prove_warm_all_s"] = warm
         report["beats_reference_300s_budget"] = bool(min(warm) < 300)
+        report["prove_warm_phases"] = phase_tables[
+            warm.index(min(warm))]
 
     t0 = time.time()
     ok = prover.verify_chunk(cp)

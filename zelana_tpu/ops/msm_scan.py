@@ -49,6 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import limbs as L
+from ..fields.bn254 import R as _FR
 from .msm import g1_points_to_device, g2_points_to_device
 from .msm_fast import _finish_host
 
@@ -574,13 +575,52 @@ def _device_msm(pool, sched, subset_idx, curve, R,
 
 
 def prepare_g1(points):
-    coords, inf = g1_points_to_device(points)
+    """Device-resident packed pool. Identity (None) points are stored as
+    the GENERATOR and corrected at msm_end (one host scalar-mul), so the
+    digit stream -- and with it the whole host schedule -- is independent
+    of the pool's infinity pattern. That is what lets the Groth16
+    a/b1/l query MSMs share ONE schedule build + upload per prove even
+    though their queries have different infinity masks (VERDICT r04 ask
+    #2: the schedule phase was the largest warm-prove term)."""
+    from ..curves import g1 as G1
+
+    gen = G1.generator()
+    pts = [gen if p is None else p for p in points]
+    coords, _ = g1_points_to_device(pts)
+    inf = np.array([p is None for p in points], dtype=bool)
     return (_pack_pool(coords, "g1"), inf, "g1")
 
 
 def prepare_g2(points):
-    coords, inf = g2_points_to_device(points)
+    from ..curves import g2 as G2
+
+    gen = G2.generator()
+    pts = [gen if p is None else p for p in points]
+    coords, _ = g2_points_to_device(pts)
+    inf = np.array([p is None for p in points], dtype=bool)
     return (_pack_pool(coords, "g2"), inf, "g2")
+
+
+def _inf_correction(digits: np.ndarray, inf) -> int:
+    """Combined scalar of the identity slots: sum_i z_i over inf positions
+    (mod r), reconstructed from the window digits. The pool stores the
+    generator there, so the scan result is off by exactly corr * G."""
+    if inf is None or not inf.any():
+        return 0
+    sums = digits[:, inf].sum(axis=1, dtype=np.int64)
+    corr = 0
+    for w in range(digits.shape[0] - 1, -1, -1):
+        corr = (corr << SCAN_BITS) + int(sums[w])
+    return corr % _FR
+
+
+def _apply_corr(res, curve: str, corr: int):
+    if corr == 0:
+        return res
+    from ..curves import g1 as G1, g2 as G2
+
+    C = G1 if curve == "g1" else G2
+    return C.add(res, C.mul(C.generator(), _FR - corr))
 
 
 # Max points per device dispatch. Two hard reasons: (1) the schedule's
@@ -607,16 +647,19 @@ def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
 
     `schedule` lets callers reuse one host schedule across MSMs that share
     a scalar vector (the Groth16 a/b1/b2 queries). MSMs beyond CHUNK_N
-    points dispatch as point segments with a bounded device queue."""
+    points dispatch as point segments with a bounded device queue.
+
+    Identity points in the pool carry their real digits into the stream
+    (they are stored as the generator, see prepare_g1); the handle records
+    the combined correction scalar for msm_end."""
     pool, inf, pcurve = prepared
     assert pcurve == curve
     lanes = LANES if curve == "g1" else LANES_G2
+    corr = 0
     if schedule is None:
         if digits is None:
-            digits = scalar_digits(scalars, inf)
-        elif inf is not None and inf.any():
-            digits = digits.copy()
-            digits[:, inf] = 0
+            digits = scalar_digits(scalars)
+        corr = _inf_correction(digits, inf)
         n = digits.shape[1]
         if n > CHUNK_N:
             multi = _MultiMsm()
@@ -629,10 +672,54 @@ def msm_begin(prepared, scalars, curve: str, digits: np.ndarray = None,
                 multi.pending.append(g)
                 if len(multi.pending) >= MAX_INFLIGHT:
                     multi.done.append(np.asarray(multi.pending.pop(0)))
-            return (multi, curve)
+            return (multi, curve, corr)
         schedule = build_schedule(digits, lanes=lanes)
     s = schedule
-    return (_dispatch_schedule(pool, s, curve), curve)
+    return (_dispatch_schedule(pool, s, curve), curve, corr)
+
+
+def build_segment_schedules(digits: np.ndarray, lanes: int = LANES) -> list:
+    """Host schedules for each CHUNK_N-point segment of one scalar vector.
+
+    The returned list is SHAREABLE: msm_begin_scheds uploads each packed
+    schedule once and caches the device buffer in the entry, so the
+    Groth16 a/b1/l query MSMs (same scalars z) pay one schedule build and
+    one upload instead of three -- the largest warm-chunk-prove term
+    after the h pipeline (docs/PERFORMANCE.md round-4 table)."""
+    n = digits.shape[1]
+    segs = []
+    for lo in range(0, max(n, 1), CHUNK_N):
+        hi = min(lo + CHUNK_N, n)
+        segs.append({
+            "lo": lo, "hi": hi,
+            "sched": build_schedule(digits[:, lo:hi], lanes=lanes),
+            "dev": None,
+        })
+    return segs
+
+
+def msm_begin_scheds(prepared, segs: list, corr: int = 0):
+    """msm_begin over prebuilt (shareable) segment schedules.
+
+    `corr` is the identity-slot correction scalar for THIS pool
+    (_inf_correction of the same digits the schedules were built from)."""
+    pool, _inf, curve = prepared
+    multi = _MultiMsm()
+    for seg in segs:
+        if seg["dev"] is None:
+            seg["dev"] = jnp.asarray(_pack_sched(seg["sched"]))
+        s = seg["sched"]
+        c0 = seg["lo"] // 128
+        c1 = c0 + (-(-(seg["hi"] - seg["lo"]) // 128))
+        g = _device_msm(
+            pool[:, c0:c1], seg["dev"], _subset_idx(), curve, s.R,
+            s.perm.shape[1], s.K, s.flag_bits is not None, R2=s.R2,
+            lanes2=s.lanes2, has_l2=s.pos2 is not None,
+            dense16=_dense16(s))
+        multi.pending.append(g)
+        if len(multi.pending) >= MAX_INFLIGHT:
+            multi.done.append(np.asarray(multi.pending.pop(0)))
+    return (multi, curve, corr)
 
 
 def _dispatch_schedule(pool, s: Schedule, curve: str):
@@ -720,12 +807,14 @@ def _finish_multi(finals, curve):
 
 
 def msm_end(handle):
-    g, curve = handle
+    g, curve, corr = handle if len(handle) == 3 else (*handle, 0)
     if isinstance(g, _MultiMsm):
-        return _finish_multi(g.done + [np.asarray(p) for p in g.pending],
-                             curve)
-    return _finish_host(g, curve, window_bits=SCAN_BITS,
-                        n_windows=SCAN_WINDOWS)
+        res = _finish_multi(g.done + [np.asarray(p) for p in g.pending],
+                            curve)
+    else:
+        res = _finish_host(g, curve, window_bits=SCAN_BITS,
+                           n_windows=SCAN_WINDOWS)
+    return _apply_corr(res, curve, corr)
 
 
 def msm_end_many(handles):
@@ -735,20 +824,22 @@ def msm_end_many(handles):
     jax.device_get issues copy_to_host_async on every leaf first."""
     import jax
 
+    handles = [h if len(h) == 3 else (*h, 0) for h in handles]
     flat = []
-    for g, _curve in handles:
+    for g, _curve, _corr in handles:
         flat.extend(g.pending if isinstance(g, _MultiMsm) else [g])
     fetched = iter(jax.device_get(flat))
     out = []
-    for g, curve in handles:
+    for g, curve, corr in handles:
         if isinstance(g, _MultiMsm):
             finals = g.done + [np.asarray(next(fetched))
                                for _ in g.pending]
-            out.append(_finish_multi(finals, curve))
+            res = _finish_multi(finals, curve)
         else:
-            out.append(_finish_host(np.asarray(next(fetched)), curve,
-                                    window_bits=SCAN_BITS,
-                                    n_windows=SCAN_WINDOWS))
+            res = _finish_host(np.asarray(next(fetched)), curve,
+                               window_bits=SCAN_BITS,
+                               n_windows=SCAN_WINDOWS)
+        out.append(_apply_corr(res, curve, corr))
     return out
 
 

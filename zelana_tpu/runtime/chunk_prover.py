@@ -149,6 +149,81 @@ class Groth16ChunkProver:
             public_witness=sunspot_public_witness(values),
         )
 
+    def _synth_chunk(self, chunk: Chunk, batch_id: int):
+        """Host stage: circuit build + native synthesis (~2 s at the
+        production shape) + satisfaction check + the z-scalar digit
+        decomposition and segment schedules (~6 s) -- everything the
+        prove needs from the host that does not depend on the device.
+        The native pieces release the GIL, so this runs truly in
+        parallel on the second core while the PREVIOUS chunk's device
+        scans execute."""
+        from ..groth16 import prove as P
+        from ..ops import msm_scan as MSM
+        from ..r1cs.native_synth import synthesize_chunk
+
+        circuit = self.build_circuit(chunk, batch_id)
+        system = synthesize_chunk(circuit)
+        pre = None
+        if system is not None:
+            bad = system.check()
+            if bad != -1:
+                raise ValueError(
+                    f"constraint {bad} unsatisfied; witness invalid")
+            if P._mesh_or_none() is None:
+                digits_z = MSM.scalar_digits(system.z)
+                pre = {
+                    "digits_z": digits_z,
+                    "segs_z": MSM.build_segment_schedules(digits_z),
+                    "segs_b2": MSM.build_segment_schedules(
+                        digits_z, lanes=MSM.LANES_G2),
+                }
+        return circuit, system, pre
+
+    def prove_chunks(self, chunks: List[Chunk],
+                     batch_id: int) -> List[ChunkProof]:
+        """Pipelined batch prove: chunk k+1's host synthesis overlaps
+        chunk k's device work (schedule uploads + scans). The TPU relay
+        admits ONE process, so the reference's worker-pool fan-out
+        (forge/crates/prover-coordinator/src/dispatcher.rs:34-62) becomes
+        a host/device pipeline here -- same chained-root semantics, the
+        parallel axis is host synthesis vs device proving."""
+        import concurrent.futures as cf
+
+        from ..groth16.prove import prove as groth16_prove
+        from ..groth16.prove import prove_synthesized
+
+        out: List[ChunkProof] = []
+        with cf.ThreadPoolExecutor(1) as ex:
+            nxt = ex.submit(self._synth_chunk, chunks[0], batch_id)
+            for i, chunk in enumerate(chunks):
+                start = time.time()
+                circuit, system, pre = nxt.result()
+                if i + 1 < len(chunks):
+                    nxt = ex.submit(self._synth_chunk, chunks[i + 1],
+                                    batch_id)
+                if system is not None:
+                    # check ran in the worker; schedules arrive prebuilt
+                    proof = prove_synthesized(self.pk, system,
+                                              batch_id=batch_id,
+                                              check=False,
+                                              precomputed=pre)
+                else:
+                    proof = groth16_prove(self.pk, circuit,
+                                          batch_id=batch_id)
+                values = [
+                    circuit.pre_state_root, circuit.post_state_root,
+                    circuit.pre_shielded_root, circuit.post_shielded_root,
+                    circuit.withdrawal_root, circuit.batch_hash, batch_id,
+                ]
+                out.append(ChunkProof(
+                    chunk_index=chunk.index,
+                    proof_bytes=sunspot_proof_bytes(proof),
+                    public_inputs=values,
+                    proving_time_ms=int((time.time() - start) * 1000),
+                    public_witness=sunspot_public_witness(values),
+                ))
+        return out
+
     def verify_chunk(self, cp: ChunkProof) -> bool:
         from ..groth16.verify import verify as groth16_verify
         from ..sequencer.prover_service import solana_bytes_to_proof

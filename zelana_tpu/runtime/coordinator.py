@@ -86,8 +86,19 @@ class Dispatcher:
     """Slices batches into circuit-capacity chunks with chained roots."""
 
     def __init__(self, chunk_prover: Callable = mock_chunk_prover,
-                 max_workers: int = 4):
+                 max_workers: int = 4, batch_prover: Callable = None):
+        """chunk_prover: per-chunk callable (thread-pool fan-out, the
+        reference's worker-fleet shape). batch_prover: optional
+        (chunks, batch_id) -> [ChunkProof] that proves a whole job with
+        its own pipelining -- the single-TPU-process runtime uses
+        Groth16ChunkProver.prove_chunks here (host synthesis of chunk
+        k+1 overlapped under chunk k's device scans); auto-wired when
+        chunk_prover is a Groth16ChunkProver bound method."""
         self.chunk_prover = chunk_prover
+        if batch_prover is None:
+            owner = getattr(chunk_prover, "__self__", None)
+            batch_prover = getattr(owner, "prove_chunks", None)
+        self.batch_prover = batch_prover
         self.pool = concurrent.futures.ThreadPoolExecutor(max_workers)
         self.jobs: Dict[str, ProofJob] = {}
         self._lock = threading.Lock()
@@ -222,11 +233,14 @@ class Dispatcher:
                     return
                 job.status = "running"
             try:
-                futures = [
-                    self.pool.submit(self.chunk_prover, chunk, batch_id)
-                    for chunk in chunks
-                ]
-                proofs = [f.result() for f in futures]
+                if self.batch_prover is not None:
+                    proofs = list(self.batch_prover(chunks, batch_id))
+                else:
+                    futures = [
+                        self.pool.submit(self.chunk_prover, chunk, batch_id)
+                        for chunk in chunks
+                    ]
+                    proofs = [f.result() for f in futures]
                 proofs.sort(key=lambda p: p.chunk_index)
                 with self._lock:
                     if job.status != "cancelled":
