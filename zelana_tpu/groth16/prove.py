@@ -289,16 +289,21 @@ def prove_many(pk: ProvingKey, jobs, check: bool = False) -> list:
     return out
 
 
-def witness_map_dispatch_native(system):
-    """witness_map_dispatch over a r1cs.native_synth.NativeSystem: the
-    sparse A.z/B.z/C.z evaluations run in C (Montgomery-form output, so no
-    per-element host conversion), then the same device NTT chain."""
+def witness_map_stage_native(system):
+    """Host half of the native witness map: sparse A.z/B.z/C.z matvecs in
+    C, limb-PAIR packing (two 16-bit limbs per u32 word -- halves the
+    three NTT-input uploads, ~400 -> ~200 MB at the production chunk's
+    2^21 domain), and the async device_put. Returns (dev_words, domain
+    size) for witness_map_dispatch_native.
+
+    Split out so the batch pipeline can run it on a worker thread for
+    chunk k+1 while chunk k's device scans stream (the uploads then fill
+    the link's idle gaps instead of serializing on the main thread)."""
     from ..poly.domain import Domain
     from ..r1cs.native_synth import limbs16
 
     nc, ni = system.num_constraints, system.num_instance
     domain = Domain.new(nc + ni)
-    plan = NTT.make_plan(domain.size)
 
     # A gets the identity block over the instance assignment appended
     # (input-consistency rows), same as matrix_vector_evals(input_rows=True)
@@ -309,15 +314,43 @@ def witness_map_dispatch_native(system):
     b_rows = limbs16(system.matvec("B", mont=True))
     c_rows = limbs16(system.matvec("C", mont=True))
 
-    def pad(cols):
+    def pad_pack(cols):
         n_have = cols.shape[1]
         if n_have < domain.size:
             cols = np.concatenate(
                 [cols, np.zeros((16, domain.size - n_have), np.uint32)],
                 axis=1)
-        return jnp.asarray(cols)
+        words = (cols[0::2] & 0xFFFF) | ((cols[1::2] & 0xFFFF) << 16)
+        return jnp.asarray(words)  # (8, domain) u32, async upload
 
-    dev = [pad(c) for c in (a_rows, b_rows, c_rows)]
+    return [pad_pack(c) for c in (a_rows, b_rows, c_rows)], domain.size
+
+
+def _unpack_rows16(words):
+    """(8, n) packed words -> (16, n) 16-bit limb rows, on device (the
+    inverse of witness_map_stage_native's pad_pack; a few cheap XLA ops
+    ahead of the NTT chain)."""
+    lo = words & 0xFFFF
+    hi = words >> 16
+    return jnp.stack([lo, hi], axis=1).reshape(16, words.shape[1])
+
+
+def witness_map_dispatch_native(system, staged=None):
+    """witness_map_dispatch over a r1cs.native_synth.NativeSystem: the
+    sparse A.z/B.z/C.z evaluations run in C (Montgomery-form output, so no
+    per-element host conversion), then the same device NTT chain.
+
+    `staged`: optional (dev_words, domain_size) from
+    witness_map_stage_native run earlier on a worker thread."""
+    from ..poly.domain import Domain
+
+    if staged is None:
+        staged = witness_map_stage_native(system)
+    dev_words, size = staged
+    domain = Domain.new(size)  # size is already the rounded pow2
+    plan = NTT.make_plan(domain.size)
+
+    dev = [_unpack_rows16(w) for w in dev_words]
     coeffs = [NTT.intt(x, plan) for x in dev]
     cosets = [NTT.coset_ntt(x, plan) for x in coeffs]
     ab = L.mont_mul(cosets[0], cosets[1], L.FR)
@@ -382,9 +415,10 @@ def prove_synthesized(pk: ProvingKey, system, batch_id: int = 0,
     the host side -- synthesis, satisfaction check, matvec, digit
     decomposition -- is C/numpy instead of per-element Python).
 
-    `precomputed` (optional): {"digits_z", "segs_z", "segs_b2"} built
-    ahead of time by Groth16ChunkProver._synth_chunk -- the batch
-    pipeline computes the NEXT chunk's digits + segment schedules on a
+    `precomputed` (optional): {"digits_z", "segs_z", "segs_b2", "wm"}
+    built ahead of time by Groth16ChunkProver._synth_chunk -- the batch
+    pipeline computes the NEXT chunk's digits + segment schedules (and
+    starts their uploads, plus the packed witness-map upload "wm") on a
     worker thread while THIS chunk's device scans run."""
     import time as _time
 
@@ -401,7 +435,8 @@ def prove_synthesized(pk: ProvingKey, system, batch_id: int = 0,
     s = rand_fp(rng, FR)
 
     _trace("witness checked", _t0)
-    h_dev, m = witness_map_dispatch_native(system)
+    h_dev, m = witness_map_dispatch_native(
+        system, staged=(precomputed or {}).get("wm"))
     _h_async(h_dev)
     _trace("witness map dispatched (NTT chain queued)", _t0)
     q = _prepared_queries(pk, num_instance)
@@ -441,7 +476,15 @@ def prove_synthesized(pk: ProvingKey, system, batch_id: int = 0,
         def _h_work():
             h_u64 = from_mont_limbs16(_unpack_h(np.asarray(h_dev)))[: m - 1]
             digits_h = MSM.scalar_digits(h_u64)
-            return MSM.build_segment_schedules(digits_h), digits_h
+            segs_h = MSM.build_segment_schedules(digits_h)
+            # start the h schedule uploads HERE, interleaved with the
+            # main thread's z/b2 uploads: by the time the main thread
+            # dispatches the h query its segment buffers are already on
+            # (or streaming to) the device, removing the ~4 s tail the
+            # round-5 batch phase table showed for "h query MSM in
+            # flight" after everything else had overlapped
+            MSM.upload_segment_schedules(segs_h)
+            return segs_h, digits_h
 
         with _cf.ThreadPoolExecutor(1) as _ex:
             h_fut = _ex.submit(_h_work)

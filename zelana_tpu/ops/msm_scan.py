@@ -698,6 +698,17 @@ def build_segment_schedules(digits: np.ndarray, lanes: int = LANES) -> list:
     return segs
 
 
+def upload_segment_schedules(segs: list) -> None:
+    """Start the (async) device upload of every segment schedule that is
+    not on the device yet. Called from pipeline worker threads so the
+    packed schedule buffers stream over the link while the main thread
+    is busy dispatching other work; msm_begin_scheds then finds
+    seg["dev"] populated and pays no upload on the critical path."""
+    for seg in segs:
+        if seg["dev"] is None:
+            seg["dev"] = jnp.asarray(_pack_sched(seg["sched"]))
+
+
 def msm_begin_scheds(prepared, segs: list, corr: int = 0):
     """msm_begin over prebuilt (shareable) segment schedules.
 

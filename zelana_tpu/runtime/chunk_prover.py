@@ -176,7 +176,18 @@ class Groth16ChunkProver:
                     "segs_z": MSM.build_segment_schedules(digits_z),
                     "segs_b2": MSM.build_segment_schedules(
                         digits_z, lanes=MSM.LANES_G2),
+                    # packed a/b/c NTT inputs: matvec + pack on this
+                    # worker core, upload started async -- it streams
+                    # over the link while the previous chunk's scans
+                    # run on the device
+                    "wm": P.witness_map_stage_native(system),
                 }
+                # schedule uploads too: the link is the batch pipeline's
+                # bottleneck (round-5 phase tables: ~15 s of the 22 s
+                # steady chunk is upload), so every byte that can move
+                # during the previous chunk's device time should
+                MSM.upload_segment_schedules(pre["segs_z"])
+                MSM.upload_segment_schedules(pre["segs_b2"])
         return circuit, system, pre
 
     def prove_chunks(self, chunks: List[Chunk],
